@@ -1,0 +1,221 @@
+"""Shared enrichment machinery: driver-side MMDB decode → flattened
+column store → Spark broadcast → vectorized searchsorted lookup UDF.
+
+The reference holds a process-global mmap'd MMDB reader
+(/root/reference/src/maxmind.rs:69, src/spurdb.rs:76) and does one trie
+walk per row.  Here the driver decodes the file once, flattens every
+record into parallel per-field arrays (so executors never touch dicts
+in the hot loop), and broadcasts the whole thing; each Arrow batch then
+does a single vectorized ``np.searchsorted``.  ``reload`` unpersists and
+re-broadcasts — the Spark analog of ``MaxMindDB::reload``
+(/root/reference/src/maxmind.rs:161-168).
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+
+from ..sources.mmdb import IntervalTable, load_interval_table
+from . import _ipparse
+
+DEFAULT_MMDB_PATHS = ["/usr/local/share/GeoIP", "/opt/homebrew/var/GeoIP"]
+
+
+def resolve_mmdb_dir(env_var: str, explicit: str | None = None) -> Path:
+    """Directory resolution per /root/reference/src/maxmind.rs:82-106:
+    env var first, then the two conventional locations."""
+    if explicit:
+        return Path(explicit)
+    if env_var in os.environ:
+        return Path(os.environ[env_var])
+    for p in DEFAULT_MMDB_PATHS:
+        if Path(p).exists():
+            return Path(p)
+    raise FileNotFoundError(
+        f"Error could not locate a directory for MMDB files\n"
+        f"Hint: specify a directory with the environment variable {env_var}\n"
+    )
+
+
+class FlatTable:
+    """Interval keys + per-field flattened record columns.
+
+    Row layout: records[0..n) from the MMDB, then one synthetic
+    "not found" defaults row at index n, so lookups never branch —
+    index -1 is remapped to the defaults row.
+    """
+
+    def __init__(self, table: IntervalTable, fields: list[tuple[str, object, object]]):
+        # fields: (name, extractor(record)->value, default_when_not_found)
+        self.lo, self.hi, self.rec_idx = table.lo, table.hi, table.rec_idx
+        n = len(table.records)
+        self.n_records = n
+        self.columns: dict[str, np.ndarray] = {}
+        for name, extract, default in fields:
+            col = np.empty(n + 1, dtype=object)
+            for i, rec in enumerate(table.records):
+                col[i] = extract(rec)
+            col[n] = default
+            self.columns[name] = col
+
+    def lookup(self, keys_obj: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Object array of 16-byte keys (None = invalid/null input) ->
+        (record_row_index array with defaults row for misses, valid mask)."""
+        n = len(keys_obj)
+        mask = np.array([k is not None for k in keys_obj], dtype=bool)
+        rows = np.full(n, self.n_records, dtype=np.int64)
+        vidx = np.flatnonzero(mask)
+        if len(vidx):
+            kb = np.array([keys_obj[i] for i in vidx], dtype="|S16")
+            if len(self.lo):
+                pos = np.searchsorted(self.lo, kb, side="right") - 1
+                ok = pos >= 0
+                hit = np.zeros(len(kb), dtype=bool)
+                hit[ok] = kb[ok] <= self.hi[pos[ok]]
+                found = np.full(len(kb), self.n_records, dtype=np.int64)
+                found[hit] = self.rec_idx[pos[hit]]
+                rows[vidx] = found
+        return rows, mask
+
+
+class BroadcastedDB:
+    """Lazy singleton: build FlatTables once per (dir, mtimes) and ship
+    via SparkContext.broadcast when a session is active; plain closure
+    capture otherwise (tests, driver-local)."""
+
+    def __init__(self, builder):
+        self._builder = builder  # (db_dir) -> dict[str, FlatTable]
+        self._cache_key = None
+        self._tables = None
+        self._bc = None
+
+    def get(self, db_dir: Path, reload: bool = False):
+        key = str(db_dir)
+        if reload or self._tables is None or self._cache_key != key:
+            self._tables = self._builder(db_dir)
+            self._cache_key = key
+            if self._bc is not None:
+                try:
+                    self._bc.unpersist()
+                except Exception:
+                    pass
+                self._bc = None
+        return self._tables
+
+    def broadcast(self, spark, db_dir: Path, reload: bool = False):
+        tables = self.get(db_dir, reload=reload)
+        if self._bc is None and spark is not None:
+            try:
+                self._bc = spark.sparkContext.broadcast(tables)
+            except Exception:
+                self._bc = None
+        return self._bc, tables
+
+
+def series_to_keys(s: pd.Series) -> np.ndarray:
+    """Normalize a UDF input batch (str / int u32 / 16-byte binary) into
+    16-byte key objects, mirroring series_to_ipaddrs
+    (/root/reference/src/iptools.rs:444-502)."""
+    vals = s.to_numpy()
+    first = next((v for v in vals if v is not None), None)
+    if isinstance(first, (bytes, bytearray)):
+        out = np.full(len(vals), None, dtype=object)
+        for i, v in enumerate(vals):
+            if v is None:
+                continue
+            b = bytes(v)
+            if len(b) == 16:
+                out[i] = b
+            elif len(b) == 4:
+                out[i] = _ipparse.V4_MAPPED_PREFIX + b
+        return out
+    if first is not None and not isinstance(first, str):
+        nums = pd.to_numeric(s, errors="coerce")
+        out = np.full(len(vals), None, dtype=object)
+        ok = nums.notna().to_numpy() & (nums >= 0).to_numpy() & (
+            nums <= 0xFFFFFFFF
+        ).to_numpy()
+        idx = np.flatnonzero(ok)
+        if len(idx):
+            packed = _ipparse.v4_num_to_packed16(nums.to_numpy()[idx].astype(np.uint32))
+            out[idx] = [p.tobytes() for p in packed]
+        return out
+    return _ipparse.pack_ip_series(s)
+
+
+# -- field extractors --------------------------------------------------------
+
+
+def _names_en(d: dict | None) -> str:
+    if not d:
+        return ""
+    return (d.get("names") or {}).get("en", "") or ""
+
+
+def build_geoip_tables(db_dir: Path) -> dict[str, FlatTable]:
+    """ASN + City flat tables; field set per
+    /root/reference/src/maxmind.rs:10-28 (English names, first
+    subdivision only per :224-236)."""
+    asn_path = db_dir / "GeoLite2-ASN.mmdb"
+    city_path = db_dir / "GeoLite2-City.mmdb"
+    for p in (asn_path, city_path):
+        if not p.exists():
+            raise FileNotFoundError(
+                f"Could not open MMDB file from {p}\n"
+                "Hint: specify a directory with the environment variable "
+                "MAXMIND_MMDB_DIR\n"
+            )
+    asn_fields = [
+        ("asnnum", lambda r: int(r.get("autonomous_system_number", 0)), 0),
+        ("asnorg", lambda r: r.get("autonomous_system_organization", "") or "", ""),
+    ]
+
+    def _subdiv(r, key):
+        subs = r.get("subdivisions") or []
+        if not subs:
+            return ""
+        first = subs[0]
+        return _names_en(first) if key == "name" else (first.get("iso_code", "") or "")
+
+    city_fields = [
+        ("city", lambda r: _names_en(r.get("city")), ""),
+        ("continent", lambda r: _names_en(r.get("continent")), ""),
+        ("country", lambda r: _names_en(r.get("country")), ""),
+        ("country_iso", lambda r: (r.get("country") or {}).get("iso_code", "") or "", ""),
+        ("latitude", lambda r: float((r.get("location") or {}).get("latitude", 0.0)), 0.0),
+        ("longitude", lambda r: float((r.get("location") or {}).get("longitude", 0.0)), 0.0),
+        ("postalcode", lambda r: (r.get("postal") or {}).get("code", "") or "", ""),
+        ("subdivision", lambda r: _subdiv(r, "name"), ""),
+        ("subdivision_iso", lambda r: _subdiv(r, "iso"), ""),
+        ("timezone", lambda r: (r.get("location") or {}).get("time_zone", "") or "", ""),
+    ]
+    return {
+        "asn": FlatTable(load_interval_table(asn_path), asn_fields),
+        "city": FlatTable(load_interval_table(city_path), city_fields),
+    }
+
+
+def build_spur_tables(db_dir: Path) -> dict[str, FlatTable]:
+    """Spur anonymity-feed table; camelCase source keys per
+    /root/reference/src/spurdb.rs:61-71, defaults per :183."""
+    spur_path = db_dir / "spur.mmdb"
+    if not spur_path.exists():
+        raise FileNotFoundError(
+            f"Could not open Spur MMDB file from {spur_path}\n"
+            "Hint: specify a directory with the environment variable "
+            "SPUR_MMDB_DIR\n"
+        )
+    fields = [
+        ("client_count", lambda r: float(r.get("clientCount", 0.0) or 0.0), 0.0),
+        ("infrastructure", lambda r: r.get("infrastructure", "") or "", ""),
+        ("location_city", lambda r: r.get("locationCity", "") or "", ""),
+        ("location_country", lambda r: r.get("locationCountry", "") or "", ""),
+        ("location_state", lambda r: r.get("locationState", "") or "", ""),
+        ("services", lambda r: list(r.get("services") or []), []),
+        ("tag", lambda r: r.get("tag", "") or "", ""),
+    ]
+    return {"spur": FlatTable(load_interval_table(spur_path), fields)}

@@ -1,0 +1,141 @@
+"""Vectorized IP parsing helpers shared by the Arrow UDF kernels.
+
+Everything here operates on whole pandas Series / numpy arrays — one
+call per Arrow batch, no per-row Python UDFs (BASELINE.json
+input_hint).  IPv4 is the hot path and is parsed with a single C-level
+regex extract + numpy arithmetic; IPv6 falls back to stdlib
+``ipaddress`` only for the (rare) rows the fast path rejected.
+
+Canonical 16-byte form: IPv4 is stored v4-mapped (``::ffff:a.b.c.d``),
+matching the reference's IPAddress extension storage rule
+(/root/reference/src/iptools.rs:338,353,368).  Big-endian 16-byte keys
+compare bytewise exactly like the underlying unsigned 128-bit integers,
+so sorted ``|S16`` numpy arrays support ``np.searchsorted`` range
+lookups — the array-encoded equivalent of the reference's LC-trie
+(/root/reference/src/iptools.rs:130-151).
+"""
+
+from __future__ import annotations
+
+import ipaddress
+import re
+
+import numpy as np
+import pandas as pd
+
+_V4_OCTET = r"(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
+V4_FULLMATCH = re.compile(
+    r"^" + r"\.".join([_V4_OCTET] * 4) + r"$"
+)
+
+V4_MAPPED_PREFIX = b"\x00" * 10 + b"\xff\xff"
+
+
+def v4_num_to_packed16(nums: np.ndarray) -> np.ndarray:
+    """uint32 array -> (n,16) uint8 array of v4-mapped addresses."""
+    out = np.zeros((len(nums), 16), dtype=np.uint8)
+    out[:, 10] = 0xFF
+    out[:, 11] = 0xFF
+    out[:, 12:16] = nums.astype(">u4").view(np.uint8).reshape(-1, 4)
+    return out
+
+
+def ip_to_int128(ip: str) -> int:
+    """Single IP string -> v4-mapped 128-bit int (raises on invalid)."""
+    addr = ipaddress.ip_address(ip)
+    if addr.version == 4:
+        return 0xFFFF00000000 | int(addr)
+    return int(addr)
+
+
+def int128_to_bytes(v: int) -> bytes:
+    return v.to_bytes(16, "big")
+
+
+def pack_ip_series(s: pd.Series) -> np.ndarray:
+    """Series of IP strings -> object array of 16-byte keys.
+
+    null -> None; unparseable -> None.  IPv4 rows take the vectorized
+    path; only non-IPv4 non-null rows hit the per-element fallback.
+    """
+    s = s.astype(object)
+    n = len(s)
+    out = np.full(n, None, dtype=object)
+    if n == 0:
+        return out
+    notnull = s.notna().to_numpy()
+    str_s = s.where(s.notna(), "")
+    # vectorized IPv4 extract (C regex over the whole batch)
+    octs = str_s.astype(str).str.extract(V4_FULLMATCH, expand=True)
+    v4mask = notnull & octs[0].notna().to_numpy()
+    if v4mask.any():
+        o = octs.loc[v4mask].astype(np.uint32).to_numpy()
+        nums = (o[:, 0] << 24) | (o[:, 1] << 16) | (o[:, 2] << 8) | o[:, 3]
+        packed = v4_num_to_packed16(nums)
+        vals = [p.tobytes() for p in packed]
+        out[np.flatnonzero(v4mask)] = vals
+    # slow path: candidate v6 / weird strings
+    rest = np.flatnonzero(notnull & ~v4mask)
+    arr = s.to_numpy()
+    for i in rest:
+        v = arr[i]
+        if not isinstance(v, str) or ":" not in v:
+            continue
+        try:
+            out[i] = int128_to_bytes(ip_to_int128(v))
+        except ValueError:
+            pass
+    return out
+
+
+def packed16_to_str(b: bytes) -> str | None:
+    """16-byte (or 4-byte) binary -> canonical string.
+
+    v4-mapped 16-byte values render as plain dotted quad, matching
+    /root/reference/src/iptools.rs:291-314; other lengths -> None.
+    """
+    if b is None:
+        return None
+    if len(b) == 4:
+        return ".".join(str(x) for x in b)
+    if len(b) != 16:
+        return None
+    if b[:12] == V4_MAPPED_PREFIX:
+        return ".".join(str(x) for x in b[12:])
+    return str(ipaddress.IPv6Address(b))
+
+
+def sort_intervals(
+    intervals: list[tuple[int, int]],
+) -> tuple[np.ndarray, np.ndarray]:
+    """Merge + sort [lo,hi] 128-bit int intervals into |S16 key arrays."""
+    merged: list[tuple[int, int]] = []
+    for lo, hi in sorted(intervals):
+        if merged and lo <= merged[-1][1] + 1:
+            prev_lo, prev_hi = merged[-1]
+            merged[-1] = (prev_lo, max(prev_hi, hi))
+        else:
+            merged.append((lo, hi))
+    lo_arr = np.array([int128_to_bytes(lo) for lo, _ in merged], dtype="|S16")
+    hi_arr = np.array([int128_to_bytes(hi) for _, hi in merged], dtype="|S16")
+    return lo_arr, hi_arr
+
+
+def membership(
+    keys: np.ndarray, mask: np.ndarray, lo_arr: np.ndarray, hi_arr: np.ndarray
+) -> np.ndarray:
+    """For object array of 16-byte keys (None where invalid) return an
+    object array of True/False/None membership flags."""
+    out = np.full(len(keys), None, dtype=object)
+    valid_idx = np.flatnonzero(mask)
+    if len(valid_idx) == 0 or len(lo_arr) == 0:
+        if len(lo_arr) == 0:
+            out[valid_idx] = False
+        return out
+    kb = np.array([keys[i] for i in valid_idx], dtype="|S16")
+    pos = np.searchsorted(lo_arr, kb, side="right") - 1
+    ok = pos >= 0
+    hit = np.zeros(len(kb), dtype=bool)
+    hit[ok] = kb[ok] <= hi_arr[pos[ok]]
+    out[valid_idx] = hit.astype(object)
+    return out

@@ -1,0 +1,107 @@
+"""MaxMind GeoLite2 enrichment — ``geoip.asn`` and ``geoip.full``.
+
+Semantics pinned to /root/reference/src/geoip.rs:
+- ``asn``: null -> null, invalid -> "", valid-not-in-db -> ""
+  (src/geoip.rs:73-93); format "AS{num} {org}" with no trailing space
+  when the org is absent (src/geoip.rs:85-91).
+- ``full``: null/invalid -> all-null struct (src/geoip.rs:41-44);
+  valid-not-found -> defaults asnnum=0, strings "", lat/lon 0.0
+  (src/maxmind.rs:47-64). Field order per src/maxmind.rs:15-26.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType
+
+from ..schemas import GEOIP_SCHEMA
+from . import _enrich
+
+__all__ = ["asn", "full"]
+
+_DB = _enrich.BroadcastedDB(_enrich.build_geoip_tables)
+
+
+def _get_tables(reload_mmdb: bool, db_dir: str | None):
+    resolved = _enrich.resolve_mmdb_dir("MAXMIND_MMDB_DIR", db_dir)
+    spark = SparkSession.getActiveSession()
+    bc, tables = _DB.broadcast(spark, resolved, reload=reload_mmdb)
+    return bc, tables
+
+
+def _col(expr):
+    return F.col(expr) if isinstance(expr, str) else expr
+
+
+def asn(expr: Column | str, reload_mmdb: bool = False, db_dir: str | None = None) -> Column:
+    """``"AS{num} {org}"`` string from GeoLite2-ASN.
+
+    ``db_dir`` overrides the MAXMIND_MMDB_DIR resolution (test seam).
+    """
+    bc, tables = _get_tables(reload_mmdb, db_dir)
+
+    @F.pandas_udf(StringType())
+    def _asn_udf(s: pd.Series) -> pd.Series:
+        t = (bc.value if bc is not None else tables)["asn"]
+        keys = _enrich.series_to_keys(s)
+        rows, mask = t.lookup(keys)
+        nums = t.columns["asnnum"][rows]
+        orgs = t.columns["asnorg"][rows]
+        out = np.full(len(s), None, dtype=object)
+        for i in np.flatnonzero(mask):
+            n = nums[i]
+            if n == 0:
+                out[i] = ""
+            else:
+                org = orgs[i]
+                out[i] = f"AS{n} {org}" if org else f"AS{n}"
+        # invalid (non-null unparseable) -> "" ; null stays null
+        null_in = s.isna().to_numpy()
+        invalid = ~mask & ~null_in
+        out[invalid] = ""
+        return pd.Series(out)
+
+    return _asn_udf(_col(expr))
+
+
+def full(expr: Column | str, reload_mmdb: bool = False, db_dir: str | None = None) -> Column:
+    """12-field geolocation struct from GeoLite2-ASN + GeoLite2-City."""
+    bc, tables = _get_tables(reload_mmdb, db_dir)
+
+    @F.pandas_udf(GEOIP_SCHEMA)
+    def _full_udf(s: pd.Series) -> pd.DataFrame:
+        tabs = bc.value if bc is not None else tables
+        ta, tc = tabs["asn"], tabs["city"]
+        keys = _enrich.series_to_keys(s)
+        rows_a, mask = ta.lookup(keys)
+        rows_c, _ = tc.lookup(keys)
+        n = len(s)
+        data = {}
+        data["asnnum"] = pd.array(
+            [int(v) for v in ta.columns["asnnum"][rows_a]], dtype="Int64"
+        )
+        data["asnorg"] = ta.columns["asnorg"][rows_a]
+        for name in (
+            "city",
+            "continent",
+            "country",
+            "country_iso",
+            "latitude",
+            "longitude",
+            "postalcode",
+            "subdivision",
+            "subdivision_iso",
+            "timezone",
+        ):
+            data[name] = tc.columns[name][rows_c]
+        df = pd.DataFrame(data, copy=False)
+        # null/invalid input -> all-null struct fields
+        bad = ~mask
+        if bad.any():
+            df.loc[bad, :] = None
+        return df
+
+    return _full_udf(_col(expr))
