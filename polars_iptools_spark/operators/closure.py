@@ -1,0 +1,108 @@
+"""Distributed connected components via alternating large-star /
+small-star DataFrame self-joins (Kiveris et al., "Connected Components
+in MapReduce and Beyond", SOCC'14 — public algorithm, re-derived here
+on the Spark DataFrame API).
+
+Why this shape at 100 TB: each superstep is two key-co-partitioned
+shuffles (groupBy + join on the same key, so AQE reuses the exchange),
+edge count shrinks monotonically toward star graphs, and convergence is
+detected with a constant-size checksum aggregate — no driver-side edge
+collection ever.  Lineage is truncated per superstep with
+``localCheckpoint`` or plans grow exponentially (SURVEY.md §4.2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _normalize(edges: DataFrame) -> DataFrame:
+    e = edges.select(
+        F.col("src").cast("long").alias("src"),
+        F.col("dst").cast("long").alias("dst"),
+    ).where(F.col("src") != F.col("dst"))
+    return e.select(
+        F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
+    ).dropDuplicates()
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """For every node u: attach all strictly-larger neighbors to
+    min(N(u) ∪ {u})."""
+    nbrs = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    mins = (
+        nbrs.groupBy("src")
+        .agg(F.min("dst").alias("mn"))
+        .select("src", F.least("mn", F.col("src")).alias("m"))
+    )
+    out = (
+        nbrs.join(mins, "src")
+        .where(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+    )
+    return out.dropDuplicates()
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Orient edges high->low; attach each low neighborhood (and the
+    center) to its minimum."""
+    es = edges.select(
+        F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+    )
+    mins = (
+        es.groupBy("src")
+        .agg(F.min("dst").alias("mn"))
+        .select("src", F.least("mn", F.col("src")).alias("m"))
+    )
+    out1 = es.join(mins, "src").select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+    out2 = mins.select(F.col("src").alias("src"), F.col("m").alias("dst"))
+    return (
+        out1.union(out2).where(F.col("src") != F.col("dst")).dropDuplicates()
+    )
+
+
+def _checksum(edges: DataFrame) -> tuple[int, int]:
+    # xor-fold (edge set is deduplicated): overflow-free constant-size agg
+    row = edges.select(F.xxhash64("src", "dst").alias("h")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.expr("bit_xor(h)"), F.lit(0)).alias("h"),
+    ).collect()[0]
+    return int(row.n), int(row.h)
+
+
+def connected_components(
+    edges: DataFrame, max_iterations: int = 50, checkpoint: bool = True
+) -> DataFrame:
+    """(src,dst) edge list -> (node, component) with component = the
+    minimum node id of the connected component.
+
+    Nodes appearing only in self-loops / isolated are still returned
+    (component = themselves).
+    """
+    all_nodes = (
+        edges.select(F.col("src").cast("long").alias("node"))
+        .union(edges.select(F.col("dst").cast("long").alias("node")))
+        .dropDuplicates()
+    )
+    e = _normalize(edges)
+    if checkpoint:
+        e = e.localCheckpoint(eager=True)
+    prev = None
+    for _ in range(max_iterations):
+        e = _small_star(_large_star(e))
+        if checkpoint:
+            e = e.localCheckpoint(eager=True)
+        cur = _checksum(e)
+        if prev is not None and cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(f"closure did not converge in {max_iterations} supersteps")
+    # converged: edges are (node, root) stars
+    assign = e.select(F.col("src").alias("node"), F.col("dst").alias("component"))
+    roots_and_singletons = all_nodes.join(
+        assign.select("node"), "node", "left_anti"
+    ).select("node", F.col("node").alias("component"))
+    return assign.union(roots_and_singletons)

@@ -1,0 +1,109 @@
+"""Blocking + skew-safe candidate-pair generation.
+
+Blocking key = (asn, /24 prefix, lang) per the north_star.  The key
+distribution is Zipf-skewed by construction (one ASN / one /24 can
+dominate), and AQE's skew handling covers joins but not the groupBy —
+so oversized blocks are handled explicitly:
+
+1. a cheap ``groupBy(block_key).count()`` histogram is computed first;
+2. blocks above ``max_block_records`` get a *recall-preserving key
+   refinement*: the full indicator IP is appended to the key.  Records
+   of the same entity always share the exact indicator, so no true
+   pair is lost, while the quadratic pair blow-up of a hot /24 is cut
+   to per-IP groups;
+3. the histogram is broadcast (it is tiny relative to the corpus) and
+   the pair self-join runs on the refined key with AQE skew-join on.
+
+This is the measured-salt strategy of SURVEY.md §4.2: the refinement
+*is* the salt, chosen from data, not guessed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import iptools
+
+
+def extract_indicators(corpus: DataFrame, ipv6: bool = False) -> DataFrame:
+    """corpus -> one row per (record, public indicator IP).
+
+    rid is a deterministic 64-bit key of the record identity; the
+    content sha256 invariant column rides along (BASELINE.json).
+    """
+    base = corpus.select(
+        F.xxhash64("repo", "path", "commit").alias("rid"),
+        "repo",
+        "path",
+        "commit",
+        "lang",
+        F.sha2("content", 256).alias("content_sha"),
+        iptools.extract_public_ips("content", ipv6=ipv6).alias("ips"),
+    )
+    return (
+        base.select(
+            "rid", "repo", "path", "commit", "lang", "content_sha",
+            F.explode("ips").alias("ip"),
+        )
+        .dropDuplicates(["rid", "ip"])
+    )
+
+
+def pseudo_asn(ip: Column) -> Column:
+    """Deterministic ASN-shaped key from the /16 prefix — the stand-in
+    enrichment when no MMDB is configured (synthetic corpora)."""
+    prefix16 = F.substring_index(ip, ".", 2)
+    return F.pmod(F.xxhash64(prefix16), F.lit(4096)).alias("asn")
+
+
+def with_block_key(indicators: DataFrame, asn_col: Column | None = None) -> DataFrame:
+    asn = asn_col if asn_col is not None else pseudo_asn(F.col("ip"))
+    return indicators.withColumn("asn", asn).withColumn(
+        "block_key",
+        F.concat_ws(
+            "|",
+            F.col("asn").cast("string"),
+            F.substring_index("ip", ".", 3),
+            F.col("lang"),
+        ),
+    )
+
+
+def block_histogram(blocked: DataFrame) -> DataFrame:
+    return blocked.groupBy("block_key").agg(F.count(F.lit(1)).alias("block_rows"))
+
+
+def refine_oversized_blocks(
+    blocked: DataFrame, histogram: DataFrame, max_block_records: int = 256
+) -> DataFrame:
+    hot = histogram.where(F.col("block_rows") > max_block_records)
+    return (
+        blocked.join(F.broadcast(hot), "block_key", "left")
+        .withColumn(
+            "block_key",
+            F.when(
+                F.col("block_rows").isNotNull(),
+                F.concat_ws("|", "block_key", "ip"),
+            ).otherwise(F.col("block_key")),
+        )
+        .drop("block_rows")
+    )
+
+
+def candidate_pairs(
+    blocked: DataFrame, max_pairs_per_record: int | None = None
+) -> DataFrame:
+    """Self-join on the (refined) blocking key, rid_a < rid_b."""
+    cols = ["rid", "ip", "path", "repo", "commit", "block_key"]
+    a = blocked.select([F.col(c).alias(f"{c}_a" if c != "block_key" else c) for c in cols])
+    b = blocked.select([F.col(c).alias(f"{c}_b" if c != "block_key" else c) for c in cols])
+    pairs = a.join(b, "block_key").where(F.col("rid_a") < F.col("rid_b"))
+    if max_pairs_per_record:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("rid_a").orderBy("rid_b")
+        pairs = pairs.withColumn("_rn", F.row_number().over(w)).where(
+            F.col("_rn") <= max_pairs_per_record
+        ).drop("_rn")
+    return pairs

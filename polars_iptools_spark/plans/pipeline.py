@@ -1,0 +1,157 @@
+"""End-to-end record-linkage pipeline (the north_star):
+
+corpus (repo, path, commit, lang, content)
+  → normalize + sha256 invariant
+  → extract + canonicalize indicators (vectorized, JVM-side for IPv4)
+  → enrich (broadcast interval trie: GeoLite2 ASN when configured,
+    deterministic pseudo-ASN otherwise)
+  → block on (asn, /24 prefix, lang), histogram-measured refinement of
+    oversized blocks
+  → candidate self-join (rid_a < rid_b)
+  → batched Jaro-Winkler + native Levenshtein scoring in one pass
+  → threshold → edges
+  → large-star/small-star transitive closure, checkpointed per superstep
+  → cluster table
+
+Every stage is committed through :class:`StageRunner` (parquet +
+per-partition lineage metrics), so a killed run resumes from the last
+committed stage.  Invoked either via the API or
+``spark-submit --py-files pipeline_job.zip`` (see BENCH/run_bench.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.closure import connected_components
+from . import blocking, scoring
+from .checkpoint import StageRunner
+
+DEFAULT_THRESHOLD = 0.72
+
+
+def run_pipeline(
+    spark: SparkSession,
+    corpus: DataFrame,
+    ckpt_dir: str,
+    threshold: float = DEFAULT_THRESHOLD,
+    max_block_records: int = 256,
+    mmdb_dir: str | None = None,
+    ipv6: bool = False,
+) -> dict:
+    """Returns dict with 'clusters' (rid, commit, cluster_id), 'edges',
+    'metrics' (per-stage lineage)."""
+    runner = StageRunner(spark, ckpt_dir)
+
+    indicators = runner.stage(
+        "01_indicators", lambda: blocking.extract_indicators(corpus, ipv6=ipv6)
+    )
+
+    def _enrich():
+        if mmdb_dir:
+            from ..functions import geoip
+
+            return blocking.with_block_key(
+                indicators,
+                asn_col=geoip.full("ip", db_dir=mmdb_dir)["asnnum"],
+            )
+        return blocking.with_block_key(indicators)
+
+    blocked = runner.stage("02_blocked", _enrich)
+
+    refined = runner.stage(
+        "03_refined",
+        lambda: blocking.refine_oversized_blocks(
+            blocked, blocking.block_histogram(blocked), max_block_records
+        ),
+    )
+
+    pairs = runner.stage("04_pairs", lambda: blocking.candidate_pairs(refined))
+
+    scored = runner.stage(
+        "05_scored",
+        lambda: scoring.score_pairs(pairs).select(
+            "rid_a", "rid_b", "score", "block_key"
+        ),
+    )
+
+    edges = runner.stage(
+        "06_edges",
+        lambda: scored.where(F.col("score") >= threshold).select(
+            F.col("rid_a").alias("src"), F.col("rid_b").alias("dst")
+        ),
+    )
+
+    def _clusters():
+        comp = connected_components(edges)
+        members = refined.select("rid", "commit").dropDuplicates(["rid"])
+        return (
+            members.join(comp, members.rid == comp.node, "left")
+            .select(
+                "rid",
+                "commit",
+                F.coalesce(F.col("component"), F.col("rid")).alias("cluster_id"),
+            )
+        )
+
+    clusters = runner.stage("07_clusters", _clusters)
+
+    return {
+        "indicators": indicators,
+        "blocked": refined,
+        "pairs": pairs,
+        "scored": scored,
+        "edges": edges,
+        "clusters": clusters,
+        "metrics": runner.metrics,
+    }
+
+
+def pairwise_f1(
+    clusters: DataFrame, truth: DataFrame, blocked: DataFrame
+) -> dict:
+    """Pairwise precision/recall/F1 over all same-base-blocking-key
+    pairs (BASELINE.json metric): label = same entity, prediction =
+    same cluster."""
+    labeled = (
+        blocked.select("rid", "commit", "block_key")
+        .dropDuplicates(["rid", "block_key"])
+        .join(truth, "commit")
+    )
+    base_key = F.concat_ws(
+        "|",
+        F.split_part("block_key", F.lit("|"), F.lit(1)),
+        F.split_part("block_key", F.lit("|"), F.lit(2)),
+        F.split_part("block_key", F.lit("|"), F.lit(3)),
+    )
+    lab = labeled.withColumn("base_key", base_key).join(
+        clusters.select("rid", "cluster_id"), "rid"
+    )
+    a = lab.select(
+        F.col("base_key"),
+        F.col("rid").alias("rid_a"),
+        F.col("entity").alias("ent_a"),
+        F.col("cluster_id").alias("cl_a"),
+    )
+    b = lab.select(
+        F.col("base_key"),
+        F.col("rid").alias("rid_b"),
+        F.col("entity").alias("ent_b"),
+        F.col("cluster_id").alias("cl_b"),
+    )
+    pairs = (
+        a.join(b, "base_key")
+        .where(F.col("rid_a") < F.col("rid_b"))
+        .dropDuplicates(["rid_a", "rid_b"])
+    )
+    agg = pairs.agg(
+        F.sum(((F.col("ent_a") == F.col("ent_b")) & (F.col("cl_a") == F.col("cl_b"))).cast("long")).alias("tp"),
+        F.sum(((F.col("ent_a") != F.col("ent_b")) & (F.col("cl_a") == F.col("cl_b"))).cast("long")).alias("fp"),
+        F.sum(((F.col("ent_a") == F.col("ent_b")) & (F.col("cl_a") != F.col("cl_b"))).cast("long")).alias("fn"),
+    ).collect()[0]
+    tp, fp, fn = (int(agg.tp or 0), int(agg.fp or 0), int(agg.fn or 0))
+    precision = tp / (tp + fp) if tp + fp else 1.0
+    recall = tp / (tp + fn) if tp + fn else 1.0
+    f1 = 2 * precision * recall / (precision + recall) if precision + recall else 0.0
+    return {"tp": tp, "fp": fp, "fn": fn, "precision": precision, "recall": recall, "f1": f1}

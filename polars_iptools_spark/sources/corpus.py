@@ -1,0 +1,190 @@
+"""Deterministic synthetic source-code corpus (BASELINE.json input_hint).
+
+Schema: ``(repo string, path string, commit string, lang string,
+content string)`` — the exact Iceberg-table shape the record-linkage
+pipeline runs over at 10^12-file scale.  Behind :func:`read_corpus`,
+parquet and Iceberg catalogs are interchangeable.
+
+Generation is **hash-derived, not RNG-state-derived**: every field of
+row *i* is a function of ``sha256(seed:i)`` / ``sha256(seed:entity:e)``,
+so generation is embarrassingly parallel (mapInPandas over
+``spark.range``), identical at any partitioning, and reproducible at
+any scale — the property a 1000-executor generator needs.
+
+Entity model (ground truth for pairwise F1):
+- entity *e* owns one canonical public IPv4 indicator; entities are
+  packed into shared /24 blocks with a quadratically skewed block-size
+  distribution (exercises the salting path);
+- each of its records embeds that indicator into lang-templated source
+  text — sometimes defanged (``192[.]168...``), sometimes wrapped in an
+  XFF-style line — plus noise indicators (private IPs) that the
+  extractor must drop;
+- record paths are entity-stemmed with per-record suffix variants, so
+  pair scoring genuinely needs string similarity, not just IP equality.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..schemas import CORPUS_SCHEMA
+
+LANGS = ["py", "rs", "go", "js", "c"]
+_EXT = {"py": ".py", "rs": ".rs", "go": ".go", "js": ".js", "c": ".c"}
+
+_TEMPLATES = {
+    "py": '# {path}\nimport socket\n\nHOST = "{ip}"\nPORT = {port}\n\n'
+    "def connect():\n    # {words}\n    return socket.create_connection((HOST, PORT))\n",
+    "rs": '// {path}\nconst HOST: &str = "{ip}";\nconst PORT: u16 = {port};\n\n'
+    "fn connect() {{\n    // {words}\n    let _ = (HOST, PORT);\n}}\n",
+    "go": '// {path}\npackage main\n\nconst host = "{ip}"\nconst port = {port}\n\n'
+    "// {words}\nfunc connect() string {{ return host }}\n",
+    "js": '// {path}\nconst HOST = "{ip}";\nconst PORT = {port};\n'
+    "// {words}\nmodule.exports = {{ HOST, PORT }};\n",
+    "c": '/* {path} */\n#define HOST "{ip}"\n#define PORT {port}\n/* {words} */\n',
+}
+
+_WORDS = [
+    "retry", "backoff", "socket", "timeout", "resolver", "gateway",
+    "upstream", "beacon", "proxy", "handler", "config", "client",
+]
+
+
+def _h(s: str) -> bytes:
+    return hashlib.sha256(s.encode()).digest()
+
+
+def _defang(ip: str) -> str:
+    return ip.replace(".", "[.]")
+
+
+def _block_boundaries(n_entities: int, n_blocks: int) -> list[int]:
+    """Zipf-weighted block capacities (block 0 largest) as cumulative
+    entity-index boundaries — deterministic skew, known in advance, so
+    tests can assert the salting path actually triggers."""
+    weights = [1.0 / (b + 1) for b in range(n_blocks)]
+    total = sum(weights)
+    bounds = []
+    acc = 0.0
+    for w in weights[:-1]:
+        acc += w / total * n_entities
+        bounds.append(int(acc))
+    return bounds
+
+
+def _entity_fields(seed: int, e: int, n_entities: int, n_blocks: int) -> dict:
+    import bisect
+
+    bounds = _block_boundaries(n_entities, n_blocks)
+    block = bisect.bisect_right(bounds, e)
+    start = bounds[block - 1] if block > 0 else 0
+    idx = e - start  # entity's index within its block
+    hb = _h(f"{seed}:block:{block}")
+    he = _h(f"{seed}:entity:{e}")
+    # public /24 base: first octet in 1..223 avoiding private/loopback
+    o1 = hb[0] % 223 + 1
+    if o1 in (10, 127, 172, 192):
+        o1 = (o1 + 7) % 223 + 1
+    # unique-per-entity IP by construction: within-block index drives the
+    # last octet, spilling into sibling /24s past 254 entities
+    third = (hb[2] + idx // 254) % 256
+    last = idx % 254 + 1
+    lang = LANGS[he[8] % len(LANGS)]
+    return {
+        "entity": e,
+        "ip": f"{o1}.{hb[1]}.{third}.{last}",
+        "lang": lang,
+        "repo": f"org{he[9] % 20}/repo{he[10] % 50}",
+        "stem": f"src/module{he[11] % 30}/svc{e}",
+        "port": 1024 + int.from_bytes(he[12:14], "big") % 50000,
+    }
+
+
+def _record(
+    seed: int, i: int, records_per_entity: int, n_entities: int, n_blocks: int
+) -> dict:
+    e = i // records_per_entity
+    ent = _entity_fields(seed, e, n_entities, n_blocks)
+    hr = _h(f"{seed}:row:{i}")
+    lang = ent["lang"]
+    suffix = ["", "_impl", "_v2", "_test"][hr[1] % 4]
+    path = ent["stem"] + suffix + _EXT[lang]
+    ip_text = _defang(ent["ip"]) if hr[0] % 3 == 0 else ent["ip"]
+    words = " ".join(_WORDS[hr[2 + k] % len(_WORDS)] for k in range(4))
+    content = _TEMPLATES[lang].format(
+        path=path, ip=ip_text, port=ent["port"], words=words
+    )
+    if hr[6] % 4 == 0:  # private-IP noise the extractor must drop
+        content += f"// fallback 10.{hr[7]}.{hr[8]}.{hr[9] % 254 + 1}\n"
+    if hr[10] % 5 == 0:  # XFF-style line with the indicator + noise
+        content += (
+            f"// X-Forwarded-For: {ent['ip']}:{1024 + hr[11]}, "
+            f"192.168.{hr[12]}.{hr[13] % 254 + 1}\n"
+        )
+    return {
+        "repo": ent["repo"],
+        "path": path,
+        "commit": hashlib.sha1(f"{seed}:{i}".encode()).hexdigest(),
+        "lang": lang,
+        "content": content,
+        "entity": e,
+    }
+
+
+def synth_corpus(
+    spark: SparkSession,
+    n_entities: int = 500,
+    records_per_entity: int = 4,
+    n_blocks: int = 50,
+    seed: int = 42,
+    partitions: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Returns (corpus, truth).
+
+    corpus: the 5-column input_hint table.
+    truth:  (commit, entity) hidden labels, joined back by the unique
+            commit key for F1 evaluation.
+    """
+    n = n_entities * records_per_entity
+    parts = partitions or max(spark.sparkContext.defaultParallelism, 4)
+    base = spark.range(0, n, 1, parts)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = [
+                _record(seed, int(i), records_per_entity, n_entities, n_blocks)
+                for i in b["id"]
+            ]
+            yield pd.DataFrame(rows)
+
+    out_schema = (
+        "repo string, path string, commit string, lang string, "
+        "content string, entity long"
+    )
+    full = base.mapInPandas(gen, schema=out_schema)
+    corpus = full.select("repo", "path", "commit", "lang", "content")
+    truth = full.select("commit", "entity")
+    return corpus, truth
+
+
+def read_corpus(spark: SparkSession, source: str) -> DataFrame:
+    """Load the corpus table.
+
+    ``source`` is a parquet path, or ``table:<name>`` for a catalog
+    (Iceberg) table — the production path on a real cluster; this
+    sandbox has no Iceberg runtime jar, so parquet carries the same
+    schema (SURVEY.md §7).
+    """
+    if source.startswith("table:"):
+        df = spark.read.table(source[len("table:"):])
+    else:
+        df = spark.read.parquet(source)
+    missing = [f.name for f in CORPUS_SCHEMA.fields if f.name not in df.columns]
+    if missing:
+        raise ValueError(f"corpus table missing columns: {missing}")
+    return df.select([f.name for f in CORPUS_SCHEMA.fields])

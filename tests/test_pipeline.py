@@ -1,0 +1,118 @@
+"""End-to-end record-linkage pipeline tests (BASELINE.json north_rule):
+pairwise F1 >= 0.99 on labeled same-blocking-key pairs, content-sha256
+invariant, checkpoint resume equivalence, deterministic generation,
+skew refinement."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from polars_iptools_spark.plans import blocking
+from polars_iptools_spark.plans.pipeline import pairwise_f1, run_pipeline
+from polars_iptools_spark.sources.corpus import synth_corpus
+
+
+@pytest.fixture(scope="module")
+def corpus_truth(spark):
+    corpus, truth = synth_corpus(
+        spark, n_entities=150, records_per_entity=4, n_blocks=15
+    )
+    corpus.cache().count()
+    truth.cache().count()
+    return corpus, truth
+
+
+@pytest.fixture(scope="module")
+def result(spark, corpus_truth, tmp_path_factory):
+    corpus, _ = corpus_truth
+    ckpt = str(tmp_path_factory.mktemp("ckpt"))
+    return run_pipeline(spark, corpus, ckpt), ckpt
+
+
+def test_corpus_deterministic(spark, corpus_truth):
+    corpus, _ = corpus_truth
+    again, _ = synth_corpus(spark, n_entities=150, records_per_entity=4, n_blocks=15)
+    assert corpus.exceptAll(again).count() == 0
+    assert again.exceptAll(corpus).count() == 0
+
+
+def test_content_sha256_invariant(spark, corpus_truth):
+    """Engine-computed sha2(content,256) equals hashlib per row —
+    the per-row invariant vs the reference (BASELINE.json:15)."""
+    corpus, _ = corpus_truth
+    sample = corpus.limit(50).select(
+        "content", F.sha2("content", 256).alias("sha")
+    ).collect()
+    assert len(sample) == 50
+    for r in sample:
+        assert r.sha == hashlib.sha256(r.content.encode()).hexdigest()
+
+
+def test_pairwise_f1_target(spark, corpus_truth, result):
+    _, truth = corpus_truth
+    res, _ = result
+    m = pairwise_f1(res["clusters"], truth, res["blocked"])
+    assert m["f1"] >= 0.99, m
+
+
+def test_every_record_clustered(spark, corpus_truth, result):
+    corpus, _ = corpus_truth
+    res, _ = result
+    assert res["clusters"].count() == res["blocked"].dropDuplicates(["rid"]).count()
+    assert res["clusters"].where(F.col("cluster_id").isNull()).count() == 0
+
+
+def test_resume_from_checkpoint(spark, corpus_truth, result):
+    """Re-running with the same ckpt dir must load every committed
+    stage (resumed=True) and produce identical clusters."""
+    corpus, _ = corpus_truth
+    res, ckpt = result
+    first = res["clusters"].collect()
+    res2 = run_pipeline(spark, corpus, ckpt)
+    assert all(m["resumed"] for m in res2["metrics"].values()), res2["metrics"]
+    second = res2["clusters"].collect()
+    assert sorted(first) == sorted(second)
+
+
+def test_partial_resume_recomputes_missing(spark, corpus_truth, tmp_path):
+    """Kill-mid-run simulation: commit only the first stages, then a
+    fresh run must reuse them and compute the rest."""
+    corpus, truth = corpus_truth
+    ckpt = str(tmp_path / "partial")
+    from polars_iptools_spark.plans.checkpoint import StageRunner
+
+    runner = StageRunner(spark, ckpt)
+    runner.stage("01_indicators", lambda: blocking.extract_indicators(corpus))
+    assert runner.is_committed("01_indicators")
+
+    res = run_pipeline(spark, corpus, ckpt)
+    assert res["metrics"]["01_indicators"]["resumed"] is True
+    assert res["metrics"]["07_clusters"]["resumed"] is False
+    m = pairwise_f1(res["clusters"], truth, res["blocked"])
+    assert m["f1"] >= 0.99
+
+
+def test_metrics_have_partition_lineage(result):
+    res, _ = result
+    for name, m in res["metrics"].items():
+        assert m["rows"] >= 0 and "partition_rows" in m, (name, m)
+
+
+def test_skew_refinement_triggers(spark, corpus_truth):
+    """The Zipf block-0 is oversized at a low cap; refinement must
+    split it by full IP without losing any same-entity pair."""
+    corpus, truth = corpus_truth
+    ind = blocking.extract_indicators(corpus)
+    blocked = blocking.with_block_key(ind)
+    hist = blocking.block_histogram(blocked)
+    cap = 40
+    assert hist.where(F.col("block_rows") > cap).count() > 0
+    refined = blocking.refine_oversized_blocks(blocked, hist, cap)
+    # refined keys are strictly finer: same-entity records (same ip)
+    # still share a key
+    joined = refined.join(truth, "commit").select("entity", "ip", "block_key")
+    per_entity = joined.groupBy("entity", "ip").agg(
+        F.countDistinct("block_key").alias("nk")
+    )
+    assert per_entity.where(F.col("nk") > 1).count() == 0
