@@ -1,0 +1,240 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All candidate generation is Spark-native (explode + hash-join + groupBy
+— map-side combinable, AQE-coalesced); nothing here uses a Python
+worker.  Exact dedup is a single hash aggregation; near-dup variants
+(n-gram Jaccard, MinHash+LSH, SimHash) share the word-shingle
+tokenizer and differ only in how candidates are generated.
+
+Scale notes (100 TB): the shingle inverted index is the dominant
+shuffle; ``max_shingle_freq`` drops stop-shingles (a shingle appearing
+in k docs generates O(k²) pairs — a single hot shingle would dominate
+the join), which is the standard skew guard for document dedup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def normalized(text: Column) -> Column:
+    """Whitespace-collapsed lowercase text (shared by fingerprints)."""
+    return F.regexp_replace(F.trim(F.lower(text)), r"\s+", " ")
+
+
+def words(text: Column) -> Column:
+    return F.split(normalized(text), " ")
+
+
+def word_shingles(text: Column, k: int = 3) -> Column:
+    """k-word shingles, JVM-side via higher-order functions."""
+    w = words(text)
+    n = F.size(w)
+    return F.when(n < k, F.array()).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: F.concat_ws(" ", F.slice(w, i + 1, k)),
+        )
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """One row per distinct content hash: the kept (minimum) id plus the
+    duplicate count — the hash-groupBy exact dedup."""
+    return (
+        df.select(F.col(id_col), F.sha2(F.col(text_col), 256).alias("content_sha"))
+        .groupBy("content_sha")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+def _shingle_index(
+    df: DataFrame, id_col: str, text_col: str, k: int, max_shingle_freq: int | None
+) -> DataFrame:
+    idx = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.array_distinct(word_shingles(F.col(text_col), k))).alias("sh"),
+    )
+    if max_shingle_freq:
+        hot = idx.groupBy("sh").agg(F.count(F.lit(1)).alias("c")).where(
+            F.col("c") > max_shingle_freq
+        )
+        idx = idx.join(F.broadcast(hot.select("sh")), "sh", "left_anti")
+    return idx
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.8,
+    max_shingle_freq: int | None = 1000,
+) -> DataFrame:
+    """All pairs with shingle-set Jaccard >= threshold.
+
+    Inverted-index join: |intersection| by counting shared shingles,
+    |union| = |A|+|B|-|∩| from per-doc set sizes.
+    """
+    idx = _shingle_index(df, id_col, text_col, k, max_shingle_freq)
+    sizes = idx.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+    a = idx.select(F.col("doc").alias("doc_a"), "sh")
+    b = idx.select(F.col("doc").alias("doc_b"), "sh")
+    common = (
+        a.join(b, "sh")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    out = (
+        common.join(sizes.withColumnsRenamed({"doc": "doc_a", "sz": "sz_a"}), "doc_a")
+        .join(sizes.withColumnsRenamed({"doc": "doc_b", "sz": "sz_b"}), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    return out
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3, num_hashes: int = 32
+) -> DataFrame:
+    """MinHash signature per doc: min over shingles of xxhash64(shingle,
+    seed_i) for each of ``num_hashes`` seeded hash functions — all
+    JVM-native (seed mixed in as a literal column)."""
+    idx = df.select(
+        F.col(id_col).alias("doc"),
+        F.array_distinct(word_shingles(F.col(text_col), k)).alias("shs"),
+    ).where(F.size("shs") > 0)
+    exploded = idx.select("doc", F.explode("shs").alias("sh"))
+    sig_cols = [
+        F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return exploded.groupBy("doc").agg(*sig_cols)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    max_shingle_freq: int | None = 1000,
+) -> DataFrame:
+    """MinHash + banded LSH candidate generation, then exact Jaccard
+    verification of candidates only (shingle→minhash→band→bucket-join).
+    """
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, k, num_hashes)
+    # band hash = xxhash64 over the band's signature slice
+    band_rows = []
+    for b in range(bands):
+        cols = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_rows.append(
+            sigs.select(
+                "doc", F.lit(b).alias("band"), F.xxhash64(*cols).alias("bucket")
+            )
+        )
+    buckets = band_rows[0]
+    for br in band_rows[1:]:
+        buckets = buckets.union(br)
+    cand = (
+        buckets.alias("x")
+        .join(buckets.alias("y"), ["band", "bucket"])
+        .where(F.col("x.doc") < F.col("y.doc"))
+        .select(F.col("x.doc").alias("doc_a"), F.col("y.doc").alias("doc_b"))
+        .dropDuplicates()
+    )
+    # verify candidates with exact shingle Jaccard (semi-join restricts
+    # the shingle-shingle join to LSH candidates only)
+    idx = _shingle_index(df, id_col, text_col, k, max_shingle_freq)
+    sizes = idx.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+    a = idx.select(F.col("doc").alias("doc_a"), "sh")
+    b = idx.select(F.col("doc").alias("doc_b"), "sh")
+    inter = (
+        a.join(b, "sh")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .join(cand, ["doc_a", "doc_b"], "left_semi")
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    return (
+        inter.join(sizes.withColumnsRenamed({"doc": "doc_a", "sz": "sz_a"}), "doc_a")
+        .join(sizes.withColumnsRenamed({"doc": "doc_b", "sz": "sz_b"}), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
+    """SimHash per doc, fully JVM-side: explode tokens once, then one
+    hash aggregation with per-bit signed sums recombined into a bigint.
+    No Python worker, one shuffle."""
+    toks = df.select(
+        F.col(id_col).alias("doc"), F.explode(words(F.col(text_col))).alias("tok")
+    ).withColumn("h", F.xxhash64("tok"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(bits)
+    ]
+    agg = toks.groupBy("doc").agg(*bit_sums)
+    sig = None
+    for b in range(bits):
+        term = F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long") * (1 << b) if b < 63 else F.lit(-(2**63))).otherwise(F.lit(0).cast("long"))
+        sig = term if sig is None else sig.bitwiseOR(term)
+    return agg.select("doc", sig.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3, bands: int = 4
+) -> DataFrame:
+    """Near-dup pairs by SimHash: band the 64-bit signature into
+    ``bands`` segments (pigeonhole: hamming<=max_hamming implies at
+    least one identical segment when bands > max_hamming), bucket-join,
+    verify hamming distance with bit_count."""
+    assert bands > max_hamming, "pigeonhole needs bands > max_hamming"
+    sigs = simhash(df, id_col, text_col)
+    seg_bits = 64 // bands
+    segs = None
+    for b in range(bands):
+        part = sigs.select(
+            "doc",
+            "simhash",
+            F.lit(b).alias("band"),
+            F.shiftrightunsigned("simhash", b * seg_bits)
+            .bitwiseAND(F.lit((1 << seg_bits) - 1))
+            .alias("bucket"),
+        )
+        segs = part if segs is None else segs.union(part)
+    cand = (
+        segs.alias("x")
+        .join(segs.alias("y"), ["band", "bucket"])
+        .where(F.col("x.doc") < F.col("y.doc"))
+        .select(
+            F.col("x.doc").alias("doc_a"),
+            F.col("y.doc").alias("doc_b"),
+            F.col("x.simhash").alias("sig_a"),
+            F.col("y.simhash").alias("sig_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    return cand.withColumn(
+        "hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    ).where(F.col("hamming") <= max_hamming).select("doc_a", "doc_b", "hamming")

@@ -1,0 +1,210 @@
+"""Dedup / similarity / textstats / multimodal operator tests with
+in-Python brute-force oracles."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from polars_iptools_spark.operators import dedup, multimodal, similarity, textstats
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox jumps over the lazy cat"),   # near-dup of 0
+    (2, "the quick brown fox jumps over the lazy dog"),   # exact dup of 0
+    (3, "completely different content about spark engines"),
+    (4, "spark engines process completely different content about scale"),
+    (5, "unrelated text with nothing shared at all here now"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string").cache()
+
+
+def _shingles(text, k=3):
+    w = text.lower().split()
+    return {" ".join(w[i : i + k]) for i in range(len(w) - k + 1)}
+
+
+def _jaccard(a, b, k=3):
+    sa, sb = _shingles(a, k), _shingles(b, k)
+    return len(sa & sb) / len(sa | sb)
+
+
+def test_exact_dedup(spark, docs):
+    rows = dedup.exact_dedup(docs, "doc_id", "text").collect()
+    assert len(rows) == 5  # 6 docs, one exact dup
+    by_keep = {r.keep_id: r.dup_count for r in rows}
+    assert by_keep[0] == 2  # docs 0 and 2 identical, min id kept
+
+
+def test_ngram_jaccard_matches_bruteforce(spark, docs):
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(
+            docs, "doc_id", "text", k=3, threshold=0.3
+        ).collect()
+    }
+    expected = {}
+    for i, (ida, ta) in enumerate(DOCS):
+        for idb, tb in DOCS[i + 1 :]:
+            j = _jaccard(ta, tb)
+            if j >= 0.3:
+                expected[(ida, idb)] = j
+    assert set(got) == set(expected)
+    for pair, j in expected.items():
+        assert got[pair] == pytest.approx(j)
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.minhash_lsh_pairs(
+            docs, "doc_id", "text", k=3, num_hashes=32, bands=16, threshold=0.5
+        ).collect()
+    }
+    # exact dup pair must always survive; jaccard values are exact
+    assert (0, 2) in pairs
+    assert (0, 1) in pairs  # high-overlap near-dup
+    assert (0, 5) not in pairs
+
+
+def test_simhash_properties(spark, docs):
+    sigs = {r.doc: r.simhash for r in dedup.simhash(docs, "doc_id", "text").collect()}
+    assert sigs[0] == sigs[2]  # identical text -> identical signature
+    ham01 = bin((sigs[0] ^ sigs[1]) & (2**64 - 1)).count("1")
+    ham05 = bin((sigs[0] ^ sigs[5]) & (2**64 - 1)).count("1")
+    assert ham01 < ham05  # near-dup closer than unrelated
+
+
+def test_simhash_pairs(spark, docs):
+    pairs = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in dedup.simhash_pairs(
+            docs, "doc_id", "text", max_hamming=10, bands=16
+        ).collect()
+    }
+    assert pairs[(0, 2)] == 0
+
+
+def test_brute_force_topk_matches_numpy(spark):
+    rng = np.random.default_rng(11)
+    vecs = rng.standard_normal((40, 8)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    q = df.where("vec_id < 3").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = similarity.brute_force_topk(df, q, k=4).collect()
+    norms = np.linalg.norm(vecs, axis=1)
+    cos = (vecs @ vecs.T) / np.outer(norms, norms)
+    for qid in range(3):
+        order = np.argsort(-cos[qid], kind="stable")[:4]
+        mine = [r.vec_id for r in sorted(got, key=lambda r: r.rank) if r.query_id == qid]
+        assert mine == list(order), (qid, mine, list(order))
+
+
+def test_lsh_near_duplicates_finds_planted(spark):
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((20, 16)).astype(np.float32)
+    rows = [(i, [float(x) for x in base[i]]) for i in range(20)]
+    # plant a near-duplicate of vector 0
+    dup = base[0] + rng.standard_normal(16).astype(np.float32) * 0.01
+    rows.append((99, [float(x) for x in dup]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in similarity.lsh_near_duplicates(df, dim=16, threshold=0.98).collect()
+    }
+    assert (0, 99) in pairs
+
+
+def test_token_counts(spark, docs):
+    rows = docs.select(
+        "doc_id",
+        textstats.token_count(F.col("text")).alias("tc"),
+        textstats.bpe_ish_token_count(F.col("text")).alias("bc"),
+    ).collect()
+    for r in rows:
+        expected = len(dict(DOCS)[r.doc_id].split())
+        assert r.tc == expected
+        assert r.bc >= r.tc  # sub-word segmentation never merges words
+    empty = spark.createDataFrame([("",), ("   ",)], "text string")
+    got = [r.tc for r in empty.select(textstats.token_count(F.col("text")).alias("tc")).collect()]
+    assert got == [0, 0]
+
+
+def test_lang_id(spark):
+    cases = [
+        ("the cat and the dog is in town", "en"),
+        ("der hund und die katze ist nicht da", "de"),
+        ("el perro y la casa es que los gatos", "es"),
+        ("le chien et la maison est que les", "fr"),
+        ("xyzzy qwerty plugh", "und"),
+    ]
+    df = spark.createDataFrame(cases, "text string, expected string")
+    rows = df.select("expected", textstats.lang_id(F.col("text")).alias("got")).collect()
+    for r in rows:
+        assert r.got == r.expected, r
+
+
+def test_quality_and_fingerprint_deterministic(spark, docs):
+    a = docs.select(
+        textstats.quality_score(F.col("text")).alias("q"),
+        textstats.fingerprint(F.col("text")).alias("fp"),
+    ).collect()
+    b = docs.select(
+        textstats.quality_score(F.col("text")).alias("q"),
+        textstats.fingerprint(F.col("text")).alias("fp"),
+    ).collect()
+    assert a == b
+    import hashlib
+
+    fp0 = [r.fp for r in docs.orderBy("doc_id").select(
+        textstats.fingerprint(F.col("text")).alias("fp")).collect()][0]
+    norm0 = " ".join(DOCS[0][1].lower().split())
+    assert fp0 == hashlib.md5(norm0.encode()).hexdigest()
+
+
+def test_winnowing_subset_of_kgram_hashes(spark, docs):
+    rows = docs.select(
+        textstats.winnowing_fingerprints(F.col("text"), k=3, window=4).alias("w")
+    ).collect()
+    for r in rows:
+        assert len(r.w) == len(set(r.w))  # distinct
+        assert len(r.w) >= 1
+
+
+def test_multimodal_meta_schema_and_determinism(spark, docs):
+    media = multimodal.attach_fake_media(docs, "doc_id", "text")
+    meta = multimodal.extract_media_meta(media, "doc_id", "media")
+    rows = {r.media_id: r for r in meta.collect()}
+    assert set(rows) == {d[0] for d in DOCS}
+    assert rows[0].n_bytes == 64  # sha512 payload
+    again = {r.media_id: r for r in multimodal.extract_media_meta(
+        media, "doc_id", "media").collect()}
+    assert rows == again
+    # identical text -> identical payload metadata
+    assert rows[0].sha256 == rows[2].sha256
+
+
+def test_multimodal_real_mode_is_stubbed(spark, docs):
+    media = multimodal.attach_fake_media(docs.limit(1), "doc_id", "text")
+    with pytest.raises(Exception, match="NotImplementedError|real media decode"):
+        multimodal.extract_media_meta(media, "doc_id", "media", decode_mode="real").collect()
+
+
+def test_frame_sampling(spark, docs):
+    media = multimodal.attach_fake_media(docs, "doc_id", "text")
+    frames = multimodal.sample_frames(media, every_n=7, id_col="doc_id").collect()
+    meta = {r.media_id: r.n_frames for r in multimodal.extract_media_meta(
+        media, "doc_id", "media").collect()}
+    import math
+
+    for mid, nf in meta.items():
+        expected = math.floor(max(nf - 1, 0) / 7) + 1
+        got = sum(1 for f in frames if f.media_id == mid)
+        assert got == expected
