@@ -1,0 +1,181 @@
+"""Headline benchmark: one JSON line on stdout.
+
+Runs the engine's representative queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] (default all
+cores).  Each query is forced with a cheap aggregate so timing measures
+the full plan, not collect serialization.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+import __spark_entry__ as entrymod  # noqa: E402
+import polars_iptools_spark as ip  # noqa: E402
+from polars_iptools_spark.operators import dedup, similarity  # noqa: E402
+from polars_iptools_spark.plans.pipeline import run_pipeline  # noqa: E402
+from polars_iptools_spark.session import get_spark  # noqa: E402
+from polars_iptools_spark.sources.corpus import synth_corpus  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+MAXMIND = "/root/reference/tests/maxmind"
+
+
+def force(df) -> int:
+    """Execute the whole plan, returning a row count."""
+    return df.agg(F.count(F.lit(1))).collect()[0][0]
+
+
+def main() -> None:
+    spark = get_spark(
+        app_name="bench",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=int(CPUS),
+        extra_conf={"spark.ui.enabled": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").cache()
+    li.count()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+    n_docs = docs.count()
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+    emb.count()
+
+    ips = entrymod._derived_ips(spark, SF_DIR).cache()
+    n_ips = ips.count()
+    texts = entrymod._derived_texts(spark, SF_DIR).cache()
+    texts.count()
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    def bench(name, fn):
+        t0 = time.monotonic()
+        fn()
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    # scalar ops, pure JVM (rows: lineitem-derived)
+    bench(
+        "scalar_native",
+        lambda: force(
+            ips.select(
+                ip.is_valid("ip").alias("v"),
+                ip.is_private("ip").alias("p"),
+                ip.ipv4_to_numeric("ip").alias("n"),
+            ).where("v or p or n > 0")
+        ),
+    )
+    extras["scalar_native_rows_per_sec"] = round(n_ips / timings["scalar_native"])
+
+    # Arrow-UDF typed round-trip
+    bench(
+        "typed_roundtrip_udf",
+        lambda: force(
+            ips.select(ip.to_string(ip.to_address("ip")).alias("c")).where(
+                "c is not null"
+            )
+        ),
+    )
+
+    # CIDR membership (mixed family -> broadcast searchsorted UDF)
+    nets = ["8.8.8.0/24", "10.0.0.0/8", "100.64.0.0/10", "2606:4700::/32"] + [
+        f"{o}.0.0.0/8" for o in range(20, 60)
+    ]
+    bench("is_in_udf", lambda: force(ips.where(ip.is_in("ip", nets))))
+
+    # extraction, JVM-side v4 path over indicator-salted documents
+    bench(
+        "extract_ips_native",
+        lambda: force(
+            texts.select(F.explode(ip.extract_public_ips("itext")).alias("x"))
+        ),
+    )
+
+    # extraction, Arrow-UDF v6 path
+    bench(
+        "extract_ips_v6_udf",
+        lambda: force(
+            texts.select(F.explode(ip.extract_ips("itext", ipv6=True)).alias("x"))
+        ),
+    )
+
+    # geo enrichment (broadcast interval table)
+    bench(
+        "geoip_full",
+        lambda: force(
+            ips.select(ip.geoip.full("ip", db_dir=MAXMIND).alias("g")).where(
+                "g.asnnum is not null"
+            )
+        ),
+    )
+    extras["geoip_rows_per_sec"] = round(n_ips / timings["geoip_full"])
+
+    # dedup family over documents
+    bench(
+        "minhash_lsh",
+        lambda: force(
+            dedup.minhash_lsh_pairs(
+                docs, "doc_id", "text", k=3, num_hashes=32, bands=8, threshold=0.5
+            )
+        ),
+    )
+    bench(
+        "simhash_pairs",
+        lambda: force(dedup.simhash_pairs(docs, "doc_id", "text", 3, 4)),
+    )
+
+    # ANN top-k over embeddings
+    q = emb.where("vec_id < 8").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    bench("ann_topk", lambda: force(similarity.brute_force_topk(emb, q, k=10)))
+
+    # end-to-end record-linkage pipeline on the synthetic corpus
+    n_files = int(os.environ.get("SPARK_GRAFT_PIPELINE_FILES", "60000"))
+    import tempfile
+
+    corpus, _ = synth_corpus(
+        spark,
+        n_entities=n_files // 3,
+        records_per_entity=3,
+        n_blocks=max(n_files // 600, 10),
+    )
+    corpus = corpus.cache()
+    corpus.count()
+    t0 = time.monotonic()
+    res = run_pipeline(spark, corpus, tempfile.mkdtemp(prefix="bench_plc_"))
+    res["clusters"].agg(F.count(F.lit(1))).collect()
+    timings["pipeline_e2e"] = round(time.monotonic() - t0, 3)
+    extras["pipeline_files_per_sec"] = round(n_files / timings["pipeline_e2e"], 1)
+
+    total = round(sum(timings.values()), 3)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "cpus": int(CPUS),
+                "docs": n_docs,
+                "derived_ip_rows": n_ips,
+                "extras": extras,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions._par import ensure_parallelism
+
 
 def normalized(text: Column) -> Column:
     """Whitespace-collapsed lowercase text (shared by fingerprints)."""
@@ -55,6 +57,7 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def _shingle_index(
     df: DataFrame, id_col: str, text_col: str, k: int, max_shingle_freq: int | None
 ) -> DataFrame:
+    df = ensure_parallelism(df)
     idx = df.select(
         F.col(id_col).alias("doc"),
         F.explode(F.array_distinct(word_shingles(F.col(text_col), k))).alias("sh"),
@@ -103,22 +106,32 @@ def ngram_jaccard_pairs(
     return out
 
 
+def shingle_sets(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    """(doc, shs): distinct word-shingle array per doc — computed once,
+    narrow (no shuffle), shared by minhash signatures and verification."""
+    return ensure_parallelism(df).select(
+        F.col(id_col).alias("doc"),
+        F.array_distinct(word_shingles(F.col(text_col), k)).alias("shs"),
+    ).where(F.size("shs") > 0)
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, k: int = 3, num_hashes: int = 32
 ) -> DataFrame:
     """MinHash signature per doc: min over shingles of xxhash64(shingle,
-    seed_i) for each of ``num_hashes`` seeded hash functions — all
-    JVM-native (seed mixed in as a literal column)."""
-    idx = df.select(
-        F.col(id_col).alias("doc"),
-        F.array_distinct(word_shingles(F.col(text_col), k)).alias("shs"),
-    ).where(F.size("shs") > 0)
-    exploded = idx.select("doc", F.explode("shs").alias("sh"))
+    seed_i) for each of ``num_hashes`` seeded hash functions.
+
+    Computed with array higher-order functions over the per-doc shingle
+    array — zero shuffles, zero Python workers; a narrow map over the
+    corpus scan."""
+    sets = shingle_sets(df, id_col, text_col, k)
     sig_cols = [
-        F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"h{i}")
+        F.array_min(F.transform("shs", lambda s: F.xxhash64(s, F.lit(i)))).alias(
+            f"h{i}"
+        )
         for i in range(num_hashes)
     ]
-    return exploded.groupBy("doc").agg(*sig_cols)
+    return sets.select("doc", *sig_cols)
 
 
 def minhash_lsh_pairs(
@@ -136,19 +149,40 @@ def minhash_lsh_pairs(
     """
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, k, num_hashes)
-    # band hash = xxhash64 over the band's signature slice
-    band_rows = []
-    for b in range(bands):
-        cols = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
-        band_rows.append(
-            sigs.select(
-                "doc", F.lit(b).alias("band"), F.xxhash64(*cols).alias("bucket")
-            )
+    sets = shingle_sets(df, id_col, text_col, k)
+    if max_shingle_freq:
+        # hot-shingle skew guard over the set representation
+        hot = (
+            sets.select(F.explode("shs").alias("sh"))
+            .groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .where(F.col("c") > max_shingle_freq)
+            .agg(F.collect_set("sh").alias("hot"))
         )
-    buckets = band_rows[0]
-    for br in band_rows[1:]:
-        buckets = buckets.union(br)
+        sets = sets.crossJoin(F.broadcast(hot)).select(
+            "doc", F.array_except("shs", F.coalesce("hot", F.array())).alias("shs")
+        ).where(F.size("shs") > 0)
+    sig_cols = [
+        F.array_min(F.transform("shs", lambda s: F.xxhash64(s, F.lit(i)))).alias(
+            f"h{i}"
+        )
+        for i in range(num_hashes)
+    ]
+    sigs = sets.select("doc", "shs", *sig_cols)
+    # band hash = xxhash64 over the band's signature slice; ONE
+    # posexplode pass instead of a bands-way union, so the signature
+    # subtree is evaluated once per join side, not once per band
+    band_hashes = F.array(
+        *[
+            F.xxhash64(
+                *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+            )
+            for b in range(bands)
+        ]
+    )
+    buckets = sigs.select(
+        "doc", F.posexplode(band_hashes).alias("band", "bucket")
+    )
     cand = (
         buckets.alias("x")
         .join(buckets.alias("y"), ["band", "bucket"])
@@ -156,25 +190,24 @@ def minhash_lsh_pairs(
         .select(F.col("x.doc").alias("doc_a"), F.col("y.doc").alias("doc_b"))
         .dropDuplicates()
     )
-    # verify candidates with exact shingle Jaccard (semi-join restricts
-    # the shingle-shingle join to LSH candidates only)
-    idx = _shingle_index(df, id_col, text_col, k, max_shingle_freq)
-    sizes = idx.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
-    a = idx.select(F.col("doc").alias("doc_a"), "sh")
-    b = idx.select(F.col("doc").alias("doc_b"), "sh")
-    inter = (
-        a.join(b, "sh")
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .join(cand, ["doc_a", "doc_b"], "left_semi")
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("common"))
-    )
+    # verify candidates with exact shingle Jaccard — join the per-doc
+    # shingle *sets* onto the (small) candidate list and intersect
+    # per-pair, instead of re-joining the full inverted index (which
+    # would pay the O(freq²) pair blow-up for non-candidates too)
     return (
-        inter.join(sizes.withColumnsRenamed({"doc": "doc_a", "sz": "sz_a"}), "doc_a")
-        .join(sizes.withColumnsRenamed({"doc": "doc_b", "sz": "sz_b"}), "doc_b")
+        cand.join(
+            sets.select(F.col("doc").alias("doc_a"), F.col("shs").alias("shs_a")),
+            "doc_a",
+        )
+        .join(
+            sets.select(F.col("doc").alias("doc_b"), F.col("shs").alias("shs_b")),
+            "doc_b",
+        )
+        .withColumn("common", F.size(F.array_intersect("shs_a", "shs_b")))
         .withColumn(
             "jaccard",
-            F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common")),
+            F.col("common")
+            / (F.size("shs_a") + F.size("shs_b") - F.col("common")),
         )
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
@@ -185,7 +218,7 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFr
     """SimHash per doc, fully JVM-side: explode tokens once, then one
     hash aggregation with per-bit signed sums recombined into a bigint.
     No Python worker, one shuffle."""
-    toks = df.select(
+    toks = ensure_parallelism(df).select(
         F.col(id_col).alias("doc"), F.explode(words(F.col(text_col))).alias("tok")
     ).withColumn("h", F.xxhash64("tok"))
     bit_sums = [
@@ -212,17 +245,17 @@ def simhash_pairs(
     assert bands > max_hamming, "pigeonhole needs bands > max_hamming"
     sigs = simhash(df, id_col, text_col)
     seg_bits = 64 // bands
-    segs = None
-    for b in range(bands):
-        part = sigs.select(
-            "doc",
-            "simhash",
-            F.lit(b).alias("band"),
-            F.shiftrightunsigned("simhash", b * seg_bits)
-            .bitwiseAND(F.lit((1 << seg_bits) - 1))
-            .alias("bucket"),
-        )
-        segs = part if segs is None else segs.union(part)
+    seg_array = F.array(
+        *[
+            F.shiftrightunsigned("simhash", b * seg_bits).bitwiseAND(
+                F.lit((1 << seg_bits) - 1)
+            )
+            for b in range(bands)
+        ]
+    )
+    segs = sigs.select(
+        "doc", "simhash", F.posexplode(seg_array).alias("band", "bucket")
+    )
     cand = (
         segs.alias("x")
         .join(segs.alias("y"), ["band", "bucket"])

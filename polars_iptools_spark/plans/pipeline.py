@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions._par import ensure_parallelism
 from ..operators.closure import connected_components
 from . import blocking, scoring
 from .checkpoint import StageRunner
@@ -45,7 +46,8 @@ def run_pipeline(
     runner = StageRunner(spark, ckpt_dir)
 
     indicators = runner.stage(
-        "01_indicators", lambda: blocking.extract_indicators(corpus, ipv6=ipv6)
+        "01_indicators",
+        lambda: blocking.extract_indicators(ensure_parallelism(corpus), ipv6=ipv6),
     )
 
     def _enrich():
@@ -71,7 +73,7 @@ def run_pipeline(
 
     scored = runner.stage(
         "05_scored",
-        lambda: scoring.score_pairs(pairs).select(
+        lambda: scoring.score_pairs(ensure_parallelism(pairs)).select(
             "rid_a", "rid_b", "score", "block_key"
         ),
     )
