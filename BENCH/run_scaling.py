@@ -1,0 +1,66 @@
+"""Scaling-efficiency job (north_rule): run the SAME record-linkage
+pipeline over the SAME corpus parquet at two parallelism levels and
+report throughput at both.
+
+Launched via spark-submit --py-files (see BENCH/scale_test.sh):
+
+    spark-submit --master local[8]  --py-files pkg.zip run_scaling.py \
+        --corpus /path/corpus.parquet --ckpt /tmp/ck8 --out r8.json
+
+The corpus is pre-materialized once (generation excluded from timing);
+timing covers pipeline read -> clusters count, i.e. the end-to-end
+files/sec the north_star asks for.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--corpus", required=True)
+    ap.add_argument("--ckpt", required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--threshold", type=float, default=0.72)
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from polars_iptools_spark.plans.pipeline import run_pipeline
+    from polars_iptools_spark.sources.corpus import read_corpus
+
+    spark = SparkSession.builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    cores = spark.sparkContext.defaultParallelism
+
+    corpus = read_corpus(spark, args.corpus)
+    n_files = corpus.count()  # warms the scan; excluded from timing
+
+    t0 = time.monotonic()
+    res = run_pipeline(spark, corpus, args.ckpt, threshold=args.threshold)
+    n_clusters = res["clusters"].agg(F.countDistinct("cluster_id")).collect()[0][0]
+    wall = time.monotonic() - t0
+
+    out = {
+        "cores": cores,
+        "files": n_files,
+        "clusters": n_clusters,
+        "wall_sec": round(wall, 3),
+        "files_per_sec": round(n_files / wall, 2),
+        "stage_wall": {k: v["wall_sec"] for k, v in res["metrics"].items()},
+    }
+    Path(args.out).write_text(json.dumps(out, indent=1))
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

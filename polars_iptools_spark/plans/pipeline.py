@@ -69,17 +69,18 @@ def run_pipeline(
         ),
     )
 
-    pairs = runner.stage("04_pairs", lambda: blocking.candidate_pairs(refined))
-
-    scored = runner.stage(
-        "05_scored",
-        lambda: scoring.score_pairs(ensure_parallelism(pairs)).select(
-            "rid_a", "rid_b", "score", "block_key"
-        ),
+    # The quadratic intermediates (candidate pairs, below-threshold
+    # scores) are deliberately NEVER materialized: at 10^12-file scale
+    # checkpointing the pair blow-up would dominate all I/O.  Pair
+    # generation -> prune-scored -> threshold fuses into one committed
+    # stage whose output is only the (tiny) edge list.
+    pairs = blocking.candidate_pairs(refined)
+    scored = scoring.score_pairs(pairs, prune_threshold=threshold).select(
+        "rid_a", "rid_b", "score", "block_key"
     )
 
     edges = runner.stage(
-        "06_edges",
+        "04_edges",
         lambda: scored.where(F.col("score") >= threshold).select(
             F.col("rid_a").alias("src"), F.col("rid_b").alias("dst")
         ),
@@ -97,7 +98,7 @@ def run_pipeline(
             )
         )
 
-    clusters = runner.stage("07_clusters", _clusters)
+    clusters = runner.stage("05_clusters", _clusters)
 
     return {
         "indicators": indicators,

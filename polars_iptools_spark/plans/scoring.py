@@ -97,22 +97,48 @@ def score_pairs(
     path_cols: tuple[str, str] = ("path_a", "path_b"),
     repo_cols: tuple[str, str] = ("repo_a", "repo_b"),
     weights: tuple[float, float, float] = (0.6, 0.25, 0.15),
+    prune_threshold: float | None = None,
 ) -> DataFrame:
     """Blend of exact/edit similarity over normalized IP + path + repo.
 
     ip similarity mixes exact equality with normalized Levenshtein so
     near-miss IPs in the same /24 score in the discriminating mid-range
     rather than collapsing to 0/1.
+
+    ``prune_threshold``: branch-and-bound guard for the Python-side
+    Jaro-Winkler.  The JVM-side terms (ip equality, Levenshtein) give an
+    exact *upper bound* on the final score assuming perfect JW; pairs
+    whose bound is below the threshold can never become edges, so they
+    skip the Arrow UDF entirely (their ``score`` is the bound, which is
+    < threshold — edge extraction is unchanged).  At web scale this
+    collapses Python scoring cost to the tiny candidate set that can
+    actually match.
     """
     w_ip, w_path, w_repo = weights
     ip_sim = (
         F.when(F.col(ip_cols[0]) == F.col(ip_cols[1]), F.lit(1.0))
         .otherwise(0.5 * levenshtein_sim(F.col(ip_cols[0]), F.col(ip_cols[1])))
     )
-    path_sim = 0.5 * jaro_winkler_udf(
-        F.col(path_cols[0]), F.col(path_cols[1])
-    ) + 0.5 * levenshtein_sim(F.col(path_cols[0]), F.col(path_cols[1]))
-    repo_sim = jaro_winkler_udf(F.col(repo_cols[0]), F.col(repo_cols[1]))
-    return pairs.withColumn(
-        "score", w_ip * ip_sim + w_path * path_sim + w_repo * repo_sim
+    lev_path = levenshtein_sim(F.col(path_cols[0]), F.col(path_cols[1]))
+
+    def exact(df: DataFrame) -> DataFrame:
+        path_sim = 0.5 * jaro_winkler_udf(
+            F.col(path_cols[0]), F.col(path_cols[1])
+        ) + 0.5 * lev_path
+        repo_sim = jaro_winkler_udf(F.col(repo_cols[0]), F.col(repo_cols[1]))
+        return df.withColumn(
+            "score", w_ip * ip_sim + w_path * path_sim + w_repo * repo_sim
+        )
+
+    if prune_threshold is None:
+        return exact(pairs)
+
+    upper = (
+        w_ip * ip_sim + w_path * (0.5 + 0.5 * lev_path) + w_repo * F.lit(1.0)
     )
+    with_ub = pairs.withColumn("_ub", upper)
+    hot = exact(with_ub.where(F.col("_ub") >= prune_threshold)).drop("_ub")
+    cold = with_ub.where(F.col("_ub") < prune_threshold).withColumn(
+        "score", F.col("_ub")
+    ).drop("_ub")
+    return hot.unionByName(cold)

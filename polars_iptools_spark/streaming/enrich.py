@@ -1,0 +1,80 @@
+"""Structured Streaming surface.
+
+Every scalar function in this engine is a stateless Column expression
+or Arrow UDF, so the batch API composes with ``readStream`` unchanged
+(the reference has no streaming at all — SURVEY.md §2.3; this is the
+Spark-native extension).  This module adds the streaming-specific
+pieces: watermarked windowed indicator aggregation and streaming
+dedup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import iptools
+
+
+def extract_indicators_stream(
+    stream: DataFrame,
+    text_col: str,
+    ts_col: str,
+    ipv6: bool = False,
+    only_public: bool = True,
+) -> DataFrame:
+    """Streaming extraction: one output row per (event, indicator)."""
+    extractor = (
+        iptools.extract_public_ips(F.col(text_col), ipv6=ipv6)
+        if only_public
+        else iptools.extract_ips(F.col(text_col), ipv6=ipv6)
+    )
+    return stream.withColumn("ips", extractor).select(
+        F.col(ts_col).alias("ts"),
+        F.explode("ips").alias("ip"),
+    )
+
+
+def windowed_indicator_counts(
+    indicators: DataFrame,
+    window: str = "1 minute",
+    slide: str | None = None,
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Watermarked tumbling/sliding window counts per indicator.
+
+    Late rows beyond the watermark are dropped by the engine; state is
+    bounded — the canonical streaming-agg shape for 100 TB/day feeds.
+    """
+    w = (
+        F.window("ts", window, slide) if slide else F.window("ts", window)
+    )
+    return (
+        indicators.withWatermark("ts", watermark)
+        .groupBy(w.alias("win"), F.col("ip"))
+        .agg(F.count(F.lit(1)).alias("hits"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "ip",
+            "hits",
+        )
+    )
+
+
+def dedup_stream(
+    stream: DataFrame, key_cols: list[str], ts_col: str, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Streaming exact dedup with bounded state: duplicates arriving
+    within the watermark horizon are dropped."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        key_cols
+    )
+
+
+def enrich_stream(stream: DataFrame, ip_col: str | Column, db_dir: str | None = None) -> DataFrame:
+    """Geo-enrich a streaming indicator column; the broadcast interval
+    table is resolved once at plan time, exactly as in batch."""
+    from ..functions import geoip
+
+    return stream.withColumn("geo", geoip.full(ip_col, db_dir=db_dir))

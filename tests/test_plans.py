@@ -1,0 +1,106 @@
+"""Physical-plan regression tests: the properties that make this
+engine scale are asserted, not assumed — native ops stay inside
+whole-stage codegen (no Python workers), filters and projections reach
+the parquet scan, small sides broadcast."""
+
+import pyspark.sql.functions as F
+
+import polars_iptools_spark as ip
+from polars_iptools_spark.operators import dedup, similarity, textstats
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized_of(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_native_ops_have_no_python_workers(spark):
+    df = spark.createDataFrame([("8.8.8.8",)], "ip string")
+    native = df.select(
+        ip.is_valid("ip"),
+        ip.is_private("ip"),
+        ip.ipv4_to_numeric("ip"),
+        ip.numeric_to_ipv4(F.lit(1)),
+        ip.extract_ips("ip"),
+        ip.extract_private_ips("ip"),
+        textstats.token_count(F.col("ip")),
+        textstats.quality_score(F.col("ip")),
+        textstats.lang_id(F.col("ip")),
+        textstats.fingerprint(F.col("ip")),
+        textstats.winnowing_fingerprints(F.col("ip")),
+    )
+    p = plan_of(native)
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+
+
+def test_simhash_and_minhash_have_no_python_workers(spark):
+    docs = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    for q in (
+        dedup.simhash(docs, "doc_id", "text"),
+        dedup.minhash_signatures(docs, "doc_id", "text"),
+        dedup.exact_dedup(docs, "doc_id", "text"),
+    ):
+        p = plan_of(q)
+        assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+
+
+def test_ann_topk_broadcasts_queries(spark):
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(10)],
+        "vec_id long, embedding array<float>",
+    )
+    q = emb.where("vec_id < 2").select(F.col("vec_id").alias("query_id"), "embedding")
+    plan = plan_of(similarity.brute_force_topk(emb, q, k=2))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "ArrowEvalPython" not in plan  # cosine is zip_with/aggregate
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark, tmp_path):
+    path = str(tmp_path / "p.parquet")
+    spark.range(1000).select(
+        F.col("id"), F.concat(F.lit("10.0.0."), (F.col("id") % 250).cast("string")).alias("ip")
+    ).write.parquet(path)
+    df = spark.read.parquet(path).where(F.col("id") > 500).select("ip")
+    p = plan_of(df)
+    assert "PushedFilters: [IsNotNull(id), GreaterThan(id,500)]" in p
+    # column pruning: scan reads only the needed columns
+    assert "ReadSchema: struct<id:bigint,ip:string>" in p
+
+
+def test_predicate_pushes_past_native_ip_expression(spark, tmp_path):
+    """A filter on a plain column composes with our native IP exprs and
+    still reaches the scan (elementwise-expression transparency, the
+    property the reference gets via is_elementwise=True)."""
+    path = str(tmp_path / "p2.parquet")
+    spark.range(1000).select(
+        F.col("id"),
+        F.concat(F.lit("10.0.0."), (F.col("id") % 250).cast("string")).alias("ip"),
+    ).write.parquet(path)
+    df = (
+        spark.read.parquet(path)
+        .withColumn("n", ip.ipv4_to_numeric("ip"))
+        .withColumn("valid", ip.is_valid("ip"))
+        .where(F.col("id") > 900)
+    )
+    assert "GreaterThan(id,900)" in plan_of(df)
+
+
+def test_geoip_udf_input_is_narrow(spark, tmp_path):
+    """Only the ip column crosses into the Python worker: the scan
+    schema under an enrichment projection stays pruned."""
+    path = str(tmp_path / "p3.parquet")
+    spark.range(100).select(
+        F.col("id"),
+        F.lit("x").alias("junk1"),
+        F.lit("y").alias("junk2"),
+        F.concat(F.lit("10.0.0."), (F.col("id") % 250).cast("string")).alias("ipc"),
+    ).write.parquet(path)
+    df = spark.read.parquet(path).select(
+        ip.geoip.asn("ipc", db_dir="/root/reference/tests/maxmind").alias("a")
+    )
+    p = plan_of(df)
+    assert "ReadSchema: struct<ipc:string>" in p
+    assert "junk1" not in p.split("ReadSchema")[1][:200]

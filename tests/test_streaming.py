@@ -1,0 +1,82 @@
+"""Structured Streaming tests: file source -> extraction/enrichment ->
+windowed watermarked aggregation -> memory sink, availableNow trigger."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType, TimestampType
+
+from polars_iptools_spark.streaming import enrich as se
+
+from conftest import MAXMIND_TEST_DIR
+
+SCHEMA = StructType(
+    [StructField("ts", TimestampType(), True), StructField("text", StringType(), True)]
+)
+
+
+def _write_input(spark, path):
+    base = dt.datetime(2026, 1, 1, 0, 0, 0)
+    rows = [
+        (base + dt.timedelta(seconds=10), "conn from 67.43.156.1 ok"),
+        (base + dt.timedelta(seconds=20), "conn from 67.43.156.1 again"),
+        (base + dt.timedelta(seconds=70), "seen 8.8.8.8 and 10.0.0.1"),
+        (base + dt.timedelta(seconds=80), "defanged 67[.]43[.]156[.]1 indicator"),
+        (base + dt.timedelta(seconds=90), "no indicators here"),
+    ]
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def _run(spark, stream_df, name, mode="append"):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def test_streaming_extract_and_window(spark, tmp_path):
+    path = str(tmp_path / "in")
+    _write_input(spark, path)
+    stream = spark.readStream.schema(SCHEMA).parquet(path)
+    ind = se.extract_indicators_stream(stream, "text", "ts")
+    counts = se.windowed_indicator_counts(ind, window="1 minute")
+    # append mode only emits watermark-closed windows; with a bounded
+    # replay the final windows never close, so assert over complete mode
+    out = _run(spark, counts, "win_counts", mode="complete")
+    rows = {(r.window_start.minute, r.ip): r.hits for r in out.collect()}
+    # minute 0: two hits of 67.43.156.1; minute 1: 8.8.8.8 once + defanged 67.43.156.1
+    assert rows[(0, "67.43.156.1")] == 2
+    assert rows[(1, "8.8.8.8")] == 1
+    assert rows[(1, "67.43.156.1")] == 1
+    # private 10.0.0.1 filtered by only_public
+    assert not any(ip == "10.0.0.1" for (_, ip) in rows)
+
+
+def test_streaming_enrich(spark, tmp_path):
+    path = str(tmp_path / "in2")
+    _write_input(spark, path)
+    stream = spark.readStream.schema(SCHEMA).parquet(path)
+    ind = se.extract_indicators_stream(stream, "text", "ts")
+    enriched = se.enrich_stream(ind, "ip", db_dir=MAXMIND_TEST_DIR).select(
+        "ip", F.col("geo.asnnum").alias("asnnum")
+    )
+    out = _run(spark, enriched, "enriched_stream")
+    got = {(r.ip, r.asnnum) for r in out.collect()}
+    assert ("67.43.156.1", 35908) in got
+
+
+def test_streaming_dedup(spark, tmp_path):
+    path = str(tmp_path / "in3")
+    _write_input(spark, path)
+    stream = spark.readStream.schema(SCHEMA).parquet(path)
+    ind = se.extract_indicators_stream(stream, "text", "ts")
+    deduped = se.dedup_stream(ind, ["ip"], "ts", watermark="1 hour")
+    out = _run(spark, deduped, "dedup_stream")
+    ips = [r.ip for r in out.collect()]
+    assert sorted(set(ips)) == sorted(ips)  # no duplicate ip rows
+    assert "67.43.156.1" in ips and "8.8.8.8" in ips
