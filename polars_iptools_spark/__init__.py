@@ -28,6 +28,7 @@ from .functions import (  # noqa: F401
     to_ipv4,
     to_string,
 )
+from .namespace import IpCol, ipcol  # noqa: F401
 from .session import get_spark  # noqa: F401
 
 __version__ = "0.1.0"

@@ -169,9 +169,19 @@ def build_geoip_tables(db_dir: Path) -> dict[str, FlatTable]:
                 "Hint: specify a directory with the environment variable "
                 "MAXMIND_MMDB_DIR\n"
             )
+    def _asn_str(r) -> str:
+        # "AS{num} {org}", no trailing space when org absent
+        # (/root/reference/src/geoip.rs:85-91); not-found -> ""
+        num = int(r.get("autonomous_system_number", 0))
+        if num == 0:
+            return ""
+        org = r.get("autonomous_system_organization", "") or ""
+        return f"AS{num} {org}" if org else f"AS{num}"
+
     asn_fields = [
         ("asnnum", lambda r: int(r.get("autonomous_system_number", 0)), 0),
         ("asnorg", lambda r: r.get("autonomous_system_organization", "") or "", ""),
+        ("asn_str", _asn_str, ""),
     ]
 
     def _subdiv(r, key):

@@ -48,20 +48,13 @@ def asn(expr: Column | str, reload_mmdb: bool = False, db_dir: str | None = None
         t = (bc.value if bc is not None else tables)["asn"]
         keys = _enrich.series_to_keys(s)
         rows, mask = t.lookup(keys)
-        nums = t.columns["asnnum"][rows]
-        orgs = t.columns["asnorg"][rows]
-        out = np.full(len(s), None, dtype=object)
-        for i in np.flatnonzero(mask):
-            n = nums[i]
-            if n == 0:
-                out[i] = ""
-            else:
-                org = orgs[i]
-                out[i] = f"AS{n} {org}" if org else f"AS{n}"
+        # strings pre-formatted once per record at table build; the
+        # batch path is a single vectorized gather
+        out = t.columns["asn_str"][rows].copy()
         # invalid (non-null unparseable) -> "" ; null stays null
         null_in = s.isna().to_numpy()
-        invalid = ~mask & ~null_in
-        out[invalid] = ""
+        out[~mask & ~null_in] = ""
+        out[null_in] = None
         return pd.Series(out)
 
     return _asn_udf(_col(expr))

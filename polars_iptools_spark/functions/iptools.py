@@ -294,6 +294,27 @@ def is_in(expr: Column | str, networks: Iterable[str]) -> Column:
     small sets, as a Spark broadcast above 1 MiB.
     """
     intervals = _compile_networks(list(networks))
+
+    # fast path: a small all-IPv4 set compiles to a pure-Catalyst range
+    # disjunction over the numeric form — no Python worker at all
+    all_v4 = all(
+        lo >= 0xFFFF00000000 and hi <= 0xFFFFFFFFFFFF for lo, hi in intervals
+    )
+    if all_v4 and len(intervals) <= 64:
+        c = _col(expr)
+        n = ipv4_to_numeric(c)
+        member = F.lit(False)
+        for lo, hi in intervals:
+            lo32, hi32 = lo & 0xFFFFFFFF, hi & 0xFFFFFFFF
+            member = member | ((n >= lo32) & (n <= hi32))
+        return (
+            F.when(c.isNull(), F.lit(None).cast("boolean"))
+            .when(n.isNotNull(), member)
+            # valid IPv6 string but v4-only set -> false; invalid -> null
+            .when(c.rlike(V6_ANCHORED), F.lit(False))
+            .otherwise(F.lit(None).cast("boolean"))
+        )
+
     lo_arr, hi_arr = _ipparse.sort_intervals(intervals)
 
     bc = None

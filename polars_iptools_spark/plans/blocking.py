@@ -94,10 +94,24 @@ def refine_oversized_blocks(
 def candidate_pairs(
     blocked: DataFrame, max_pairs_per_record: int | None = None
 ) -> DataFrame:
-    """Self-join on the (refined) blocking key, rid_a < rid_b."""
-    cols = ["rid", "ip", "path", "repo", "commit", "block_key"]
-    a = blocked.select([F.col(c).alias(f"{c}_a" if c != "block_key" else c) for c in cols])
-    b = blocked.select([F.col(c).alias(f"{c}_b" if c != "block_key" else c) for c in cols])
+    """Self-join on the (refined) blocking key, rid_a < rid_b.
+
+    Both sides are explicitly hash-repartitioned on the key with a
+    pinned partition count: the join *input* is small but its output
+    explodes quadratically per block, and AQE would otherwise coalesce
+    the input exchanges by byte size and serialize the blow-up onto a
+    handful of tasks.  An explicit user repartition is exempt from AQE
+    coalescing, so the pair generation keeps full-cluster parallelism.
+    """
+    parts = max(blocked.sparkSession.sparkContext.defaultParallelism * 2, 8)
+    cols = ["rid", "ip", "path", "repo", "block_key"]
+    narrowed = blocked.select(cols).repartition(parts, "block_key")
+    a = narrowed.select(
+        [F.col(c).alias(f"{c}_a" if c != "block_key" else c) for c in cols]
+    )
+    b = narrowed.select(
+        [F.col(c).alias(f"{c}_b" if c != "block_key" else c) for c in cols]
+    )
     pairs = a.join(b, "block_key").where(F.col("rid_a") < F.col("rid_b"))
     if max_pairs_per_record:
         from pyspark.sql import Window
