@@ -91,6 +91,7 @@ def main() -> None:
         f"{o}.0.0.0/8" for o in range(20, 60)
     ]
     bench("is_in_udf", lambda: force(ips.where(ip.is_in("ip", nets))))
+    extras["is_in_rows_per_sec"] = round(n_ips / timings["is_in_udf"])
 
     # extraction, JVM-side v4 path over indicator-salted documents
     bench(
@@ -99,6 +100,8 @@ def main() -> None:
             texts.select(F.explode(ip.extract_public_ips("itext")).alias("x"))
         ),
     )
+
+    extras["extract_docs_per_sec"] = round(n_docs / timings["extract_ips_native"])
 
     # extraction, Arrow-UDF v6 path
     bench(

@@ -57,6 +57,15 @@ def pseudo_asn(ip: Column) -> Column:
     return F.pmod(F.xxhash64(prefix16), F.lit(4096)).alias("asn")
 
 
+def ip_prefix(ip: Column) -> Column:
+    """Blocking prefix per the north_star: /24 for IPv4 (first three
+    octets), /48 for IPv6 (first three hextets of the canonical form).
+    Pure Catalyst expression."""
+    return F.when(
+        ip.contains(":"), F.concat(F.substring_index(ip, ":", 3), F.lit("::/48"))
+    ).otherwise(F.substring_index(ip, ".", 3))
+
+
 def with_block_key(indicators: DataFrame, asn_col: Column | None = None) -> DataFrame:
     asn = asn_col if asn_col is not None else pseudo_asn(F.col("ip"))
     return indicators.withColumn("asn", asn).withColumn(
@@ -64,7 +73,7 @@ def with_block_key(indicators: DataFrame, asn_col: Column | None = None) -> Data
         F.concat_ws(
             "|",
             F.col("asn").cast("string"),
-            F.substring_index("ip", ".", 3),
+            ip_prefix(F.col("ip")),
             F.col("lang"),
         ),
     )

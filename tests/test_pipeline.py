@@ -116,3 +116,16 @@ def test_skew_refinement_triggers(spark, corpus_truth):
         F.countDistinct("block_key").alias("nk")
     )
     assert per_entity.where(F.col("nk") > 1).count() == 0
+
+
+def test_ipv6_block_prefix(spark):
+    """/48 prefix for IPv6 indicators (north_star blocking key)."""
+    rows = [
+        (1, "2001:db8:85a3::8a2e:370:7334", "py"),
+        (2, "8.8.8.8", "py"),
+    ]
+    df = spark.createDataFrame(rows, "rid long, ip string, lang string")
+    keyed = blocking.with_block_key(df)
+    keys = {r.rid: r.block_key for r in keyed.collect()}
+    assert keys[1].split("|")[1] == "2001:db8:85a3::/48"
+    assert keys[2].split("|")[1] == "8.8.8"
