@@ -133,12 +133,21 @@ def score_pairs(
     if prune_threshold is None:
         return exact(pairs)
 
+    # Single pass: the pair join + Levenshtein terms are computed once;
+    # the JW UDF's inputs are null-gated so cold rows cross the Arrow
+    # boundary as nulls (near-free) and only hot rows pay for JW.  A
+    # hot/cold split into two branches would recompute the whole join
+    # subtree per branch.
     upper = (
         w_ip * ip_sim + w_path * (0.5 + 0.5 * lev_path) + w_repo * F.lit(1.0)
     )
     with_ub = pairs.withColumn("_ub", upper)
-    hot = exact(with_ub.where(F.col("_ub") >= prune_threshold)).drop("_ub")
-    cold = with_ub.where(F.col("_ub") < prune_threshold).withColumn(
-        "score", F.col("_ub")
+    hot = F.col("_ub") >= prune_threshold
+    gate = lambda c: F.when(hot, F.col(c))  # noqa: E731
+    jw_path = jaro_winkler_udf(gate(path_cols[0]), gate(path_cols[1]))
+    jw_repo = jaro_winkler_udf(gate(repo_cols[0]), gate(repo_cols[1]))
+    path_sim = 0.5 * jw_path + 0.5 * lev_path
+    exact_score = w_ip * ip_sim + w_path * path_sim + w_repo * jw_repo
+    return with_ub.withColumn(
+        "score", F.when(hot, exact_score).otherwise(F.col("_ub"))
     ).drop("_ub")
-    return hot.unionByName(cold)
