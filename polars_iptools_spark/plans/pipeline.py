@@ -69,18 +69,26 @@ def run_pipeline(
         ),
     )
 
-    # The quadratic intermediates (candidate pairs, below-threshold
-    # scores) are deliberately NEVER materialized: at 10^12-file scale
-    # checkpointing the pair blow-up would dominate all I/O.  Pair
-    # generation -> prune-scored -> threshold fuses into one committed
-    # stage whose output is only the (tiny) edge list.
+    # The quadratic pair stream is NEVER materialized: at 10^12-file
+    # scale checkpointing the pair blow-up would dominate all I/O.
+    # Instead, pair generation + the JVM-only upper-bound filter fuse
+    # into ONE committed stage whose output is the near-edge-sized hot
+    # candidate set; the Python Jaro-Winkler then runs over only those
+    # rows (no Arrow traffic for the ~98% of pairs that can never match).
     pairs = blocking.candidate_pairs(refined)
-    scored = scoring.score_pairs(pairs, prune_threshold=threshold).select(
+    candidates = runner.stage(
+        "04_candidates",
+        lambda: scoring.hot_candidates(pairs, threshold=threshold).select(
+            "rid_a", "rid_b", "path_a", "path_b", "repo_a", "repo_b",
+            "block_key", "ip_sim", "lev_path",
+        ),
+    )
+    scored = scoring.exact_score_hot(candidates).select(
         "rid_a", "rid_b", "score", "block_key"
     )
 
     edges = runner.stage(
-        "04_edges",
+        "05_edges",
         lambda: scored.where(F.col("score") >= threshold).select(
             F.col("rid_a").alias("src"), F.col("rid_b").alias("dst")
         ),
@@ -98,12 +106,13 @@ def run_pipeline(
             )
         )
 
-    clusters = runner.stage("05_clusters", _clusters)
+    clusters = runner.stage("06_clusters", _clusters)
 
     return {
         "indicators": indicators,
         "blocked": refined,
         "pairs": pairs,
+        "candidates": candidates,
         "scored": scored,
         "edges": edges,
         "clusters": clusters,

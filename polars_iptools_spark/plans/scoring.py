@@ -91,6 +91,54 @@ def levenshtein_sim(a: Column, b: Column) -> Column:
     )
 
 
+def hot_candidates(
+    pairs: DataFrame,
+    ip_cols: tuple[str, str] = ("ip_a", "ip_b"),
+    path_cols: tuple[str, str] = ("path_a", "path_b"),
+    weights: tuple[float, float, float] = (0.6, 0.25, 0.15),
+    threshold: float = 0.72,
+) -> DataFrame:
+    """Pairs whose score *upper bound* (JVM-only terms, perfect-JW
+    assumption) can reach the threshold — the only rows that ever need
+    the Python scorer.  The heavy terms ride along as materialized
+    columns so the exact scorer never recomputes them.
+
+    This is the stage worth checkpointing at scale: it shrinks the
+    quadratic pair stream to near-edge size entirely JVM-side.
+    """
+    w_ip, w_path, w_repo = weights
+    ip_sim = (
+        F.when(F.col(ip_cols[0]) == F.col(ip_cols[1]), F.lit(1.0))
+        .otherwise(0.5 * levenshtein_sim(F.col(ip_cols[0]), F.col(ip_cols[1])))
+    )
+    lev_path = levenshtein_sim(F.col(path_cols[0]), F.col(path_cols[1]))
+    base = pairs.withColumn("ip_sim", ip_sim).withColumn("lev_path", lev_path)
+    upper = (
+        w_ip * F.col("ip_sim")
+        + w_path * (0.5 + 0.5 * F.col("lev_path"))
+        + w_repo * F.lit(1.0)
+    )
+    return base.withColumn("ub", upper).where(F.col("ub") >= threshold)
+
+
+def exact_score_hot(
+    hot: DataFrame,
+    path_cols: tuple[str, str] = ("path_a", "path_b"),
+    repo_cols: tuple[str, str] = ("repo_a", "repo_b"),
+    weights: tuple[float, float, float] = (0.6, 0.25, 0.15),
+) -> DataFrame:
+    """Exact blended score over hot candidates (expects the materialized
+    ip_sim / lev_path columns from :func:`hot_candidates`)."""
+    w_ip, w_path, w_repo = weights
+    path_sim = 0.5 * jaro_winkler_udf(
+        F.col(path_cols[0]), F.col(path_cols[1])
+    ) + 0.5 * F.col("lev_path")
+    repo_sim = jaro_winkler_udf(F.col(repo_cols[0]), F.col(repo_cols[1]))
+    return hot.withColumn(
+        "score", w_ip * F.col("ip_sim") + w_path * path_sim + w_repo * repo_sim
+    )
+
+
 def score_pairs(
     pairs: DataFrame,
     ip_cols: tuple[str, str] = ("ip_a", "ip_b"),
@@ -133,21 +181,27 @@ def score_pairs(
     if prune_threshold is None:
         return exact(pairs)
 
-    # Single pass: the pair join + Levenshtein terms are computed once;
-    # the JW UDF's inputs are null-gated so cold rows cross the Arrow
-    # boundary as nulls (near-free) and only hot rows pay for JW.  A
-    # hot/cold split into two branches would recompute the whole join
-    # subtree per branch.
+    # Single pass: the pair join runs once and the heavy JVM terms
+    # (Levenshtein, ip similarity) are MATERIALIZED as columns so they
+    # are evaluated exactly once per row — referencing the expressions
+    # again in the final score projection would silently recompute them.
+    # The JW UDF's inputs are null-gated: cold rows cross the Arrow
+    # boundary as nulls (near-free) and only hot rows pay for JW.
+    base = pairs.withColumn("_ip_sim", ip_sim).withColumn("_lev_path", lev_path)
     upper = (
-        w_ip * ip_sim + w_path * (0.5 + 0.5 * lev_path) + w_repo * F.lit(1.0)
+        w_ip * F.col("_ip_sim")
+        + w_path * (0.5 + 0.5 * F.col("_lev_path"))
+        + w_repo * F.lit(1.0)
     )
-    with_ub = pairs.withColumn("_ub", upper)
+    with_ub = base.withColumn("_ub", upper)
     hot = F.col("_ub") >= prune_threshold
     gate = lambda c: F.when(hot, F.col(c))  # noqa: E731
     jw_path = jaro_winkler_udf(gate(path_cols[0]), gate(path_cols[1]))
     jw_repo = jaro_winkler_udf(gate(repo_cols[0]), gate(repo_cols[1]))
-    path_sim = 0.5 * jw_path + 0.5 * lev_path
-    exact_score = w_ip * ip_sim + w_path * path_sim + w_repo * jw_repo
+    path_sim = 0.5 * jw_path + 0.5 * F.col("_lev_path")
+    exact_score = (
+        w_ip * F.col("_ip_sim") + w_path * path_sim + w_repo * jw_repo
+    )
     return with_ub.withColumn(
         "score", F.when(hot, exact_score).otherwise(F.col("_ub"))
-    ).drop("_ub")
+    ).drop("_ub", "_ip_sim", "_lev_path")
