@@ -1,17 +1,18 @@
 """End-to-end record-linkage pipeline (the north_star):
 
 corpus (repo, path, commit, lang, content)
-  → normalize + sha256 invariant
-  → extract + canonicalize indicators (vectorized, JVM-side for IPv4)
-  → enrich (broadcast interval trie: GeoLite2 ASN when configured,
-    deterministic pseudo-ASN otherwise)
-  → block on (asn, /24 prefix, lang), histogram-measured refinement of
-    oversized blocks
-  → candidate self-join (rid_a < rid_b)
-  → batched Jaro-Winkler + native Levenshtein scoring in one pass
-  → threshold → edges
-  → large-star/small-star transitive closure, checkpointed per superstep
-  → cluster table
+  → 01 normalize + sha256 invariant + extract/canonicalize indicators
+    (JVM-side for IPv4)
+  → 02 enrich + block on (asn, /24 or /48 prefix, lang) — broadcast
+    interval trie (GeoLite2 ASN when configured, pseudo-ASN otherwise)
+  → 03 histogram-measured refinement of oversized (Zipf-hot) blocks
+  → 04 candidate self-join (rid_a < rid_b, AQE-exempt repartition) +
+    JVM-only score upper bound → hot candidates (the only committed
+    quadratic-derived artifact, near-edge-sized)
+  → 05 batched Jaro-Winkler + materialized Levenshtein exact scoring
+    over hot candidates only → threshold → edges
+  → 06 large-star/small-star transitive closure, localCheckpoint per
+    superstep → cluster table
 
 Every stage is committed through :class:`StageRunner` (parquet +
 per-partition lineage metrics), so a killed run resumes from the last
