@@ -115,23 +115,68 @@ def shingle_sets(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataF
     ).where(F.size("shs") > 0)
 
 
+def _minhash_sig_array(shs: Column, num_hashes: int) -> Column:
+    """Signature array in ONE traversal of the shingle array: fold over
+    shingles, each step zip_with-min'ing the accumulator against the
+    shingle's ``num_hashes`` seeded hashes — instead of ``num_hashes``
+    separate array traversals."""
+    init = F.array(*[F.lit(2**63 - 1).cast("long")] * num_hashes)
+    return F.aggregate(
+        shs,
+        init,
+        lambda acc, s: F.zip_with(
+            acc,
+            F.array(*[F.xxhash64(s, F.lit(i)) for i in range(num_hashes)]),
+            lambda a, b: F.least(a, b),
+        ),
+    )
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, k: int = 3, num_hashes: int = 32
 ) -> DataFrame:
     """MinHash signature per doc: min over shingles of xxhash64(shingle,
     seed_i) for each of ``num_hashes`` seeded hash functions.
 
-    Computed with array higher-order functions over the per-doc shingle
-    array — zero shuffles, zero Python workers; a narrow map over the
-    corpus scan."""
+    Computed with a single fold over the per-doc shingle array — zero
+    shuffles, zero Python workers; a narrow map over the corpus scan."""
     sets = shingle_sets(df, id_col, text_col, k)
-    sig_cols = [
-        F.array_min(F.transform("shs", lambda s: F.xxhash64(s, F.lit(i)))).alias(
-            f"h{i}"
+    # project the signature array ONCE, then extract elements from the
+    # attribute — extracting from the expression would recompute the
+    # fold per element
+    with_sig = sets.select(
+        "doc", _minhash_sig_array(F.col("shs"), num_hashes).alias("_sig")
+    )
+    return with_sig.select(
+        "doc", *[F.col("_sig")[i].alias(f"h{i}") for i in range(num_hashes)]
+    )
+
+
+def _bucket_pairs(buckets: DataFrame, max_bucket_size: int | None) -> DataFrame:
+    """(doc, band, bucket) -> candidate doc pairs sharing a bucket.
+
+    Oversized buckets are dropped first: a bucket holding k docs emits
+    O(k²) pairs, so one degenerate (non-discriminative) bucket would
+    dominate the whole join — the LSH analog of the hot-shingle guard.
+    Dropped buckets are those where the hash carries ~no information,
+    so recall for genuinely similar pairs survives via their other
+    bands."""
+    if max_bucket_size:
+        hot = (
+            buckets.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .where(F.col("c") > max_bucket_size)
         )
-        for i in range(num_hashes)
-    ]
-    return sets.select("doc", *sig_cols)
+        buckets = buckets.join(
+            F.broadcast(hot.select("band", "bucket")), ["band", "bucket"], "left_anti"
+        )
+    return (
+        buckets.alias("x")
+        .join(buckets.alias("y"), ["band", "bucket"])
+        .where(F.col("x.doc") < F.col("y.doc"))
+        .select(F.col("x.doc").alias("doc_a"), F.col("y.doc").alias("doc_b"))
+        .dropDuplicates()
+    )
 
 
 def minhash_lsh_pairs(
@@ -143,6 +188,8 @@ def minhash_lsh_pairs(
     bands: int = 8,
     threshold: float = 0.5,
     max_shingle_freq: int | None = 1000,
+    max_bucket_size: int | None = 2000,
+    persist_sets: bool = True,
 ) -> DataFrame:
     """MinHash + banded LSH candidate generation, then exact Jaccard
     verification of candidates only (shingle→minhash→band→bucket-join).
@@ -162,13 +209,20 @@ def minhash_lsh_pairs(
         sets = sets.crossJoin(F.broadcast(hot)).select(
             "doc", F.array_except("shs", F.coalesce("hot", F.array())).alias("shs")
         ).where(F.size("shs") > 0)
-    sig_cols = [
-        F.array_min(F.transform("shs", lambda s: F.xxhash64(s, F.lit(i)))).alias(
-            f"h{i}"
-        )
-        for i in range(num_hashes)
-    ]
-    sigs = sets.select("doc", "shs", *sig_cols)
+    if persist_sets:
+        # the (filtered) shingle-set subtree feeds signatures, both
+        # sides of the bucket self-join and both sides of the
+        # verification join — without a materialization point Spark
+        # recomputes it per reference (measured 5x on large corpora)
+        from pyspark.storagelevel import StorageLevel
+
+        sets = sets.persist(StorageLevel.MEMORY_AND_DISK)
+    sigs = sets.select(
+        "doc", "shs", _minhash_sig_array(F.col("shs"), num_hashes).alias("_sig")
+    ).select(
+        "doc", "shs",
+        *[F.col("_sig")[i].alias(f"h{i}") for i in range(num_hashes)],
+    )
     # band hash = xxhash64 over the band's signature slice; ONE
     # posexplode pass instead of a bands-way union, so the signature
     # subtree is evaluated once per join side, not once per band
@@ -183,13 +237,7 @@ def minhash_lsh_pairs(
     buckets = sigs.select(
         "doc", F.posexplode(band_hashes).alias("band", "bucket")
     )
-    cand = (
-        buckets.alias("x")
-        .join(buckets.alias("y"), ["band", "bucket"])
-        .where(F.col("x.doc") < F.col("y.doc"))
-        .select(F.col("x.doc").alias("doc_a"), F.col("y.doc").alias("doc_b"))
-        .dropDuplicates()
-    )
+    cand = _bucket_pairs(buckets, max_bucket_size)
     # verify candidates with exact shingle Jaccard — join the per-doc
     # shingle *sets* onto the (small) candidate list and intersect
     # per-pair, instead of re-joining the full inverted index (which
@@ -215,33 +263,49 @@ def minhash_lsh_pairs(
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
-    """SimHash per doc, fully JVM-side: explode tokens once, then one
-    hash aggregation with per-bit signed sums recombined into a bigint.
-    No Python worker, one shuffle."""
-    toks = ensure_parallelism(df).select(
-        F.col(id_col).alias("doc"), F.explode(words(F.col(text_col))).alias("tok")
-    ).withColumn("h", F.xxhash64("tok"))
-    bit_sums = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b{b}")
-        for b in range(bits)
-    ]
-    agg = toks.groupBy("doc").agg(*bit_sums)
+    """SimHash per doc, fully JVM-side as a NARROW map: hash the token
+    array once, fold the per-bit signed counts with nested higher-order
+    functions, recombine into a bigint.  No shuffle, no Python worker,
+    no wide aggregation buffers (the earlier explode+groupBy variant
+    allocated 64 agg columns over the token explosion and thrashed GC
+    on large corpora)."""
+    hashes = F.transform(words(F.col(text_col)), lambda t: F.xxhash64(t))
+    counts = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(
+                *[F.shiftright(h, b).bitwiseAND(F.lit(1)) for b in range(bits)]
+            ),
+            lambda a, bit: a + F.when(bit == 1, 1).otherwise(-1),
+        ),
+    )
+    base = ensure_parallelism(df).select(
+        F.col(id_col).alias("doc"), counts.alias("_c")
+    )
     sig = None
     for b in range(bits):
-        term = F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long") * (1 << b) if b < 63 else F.lit(-(2**63))).otherwise(F.lit(0).cast("long"))
+        term = F.when(
+            F.col("_c")[b] > 0,
+            F.lit(1 << b).cast("long") if b < 63 else F.lit(-(2**63)),
+        ).otherwise(F.lit(0).cast("long"))
         sig = term if sig is None else sig.bitwiseOR(term)
-    return agg.select("doc", sig.alias("simhash"))
+    return base.select("doc", sig.alias("simhash"))
 
 
 def simhash_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3, bands: int = 4
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    bands: int = 4,
+    max_bucket_size: int | None = 2000,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: band the 64-bit signature into
     ``bands`` segments (pigeonhole: hamming<=max_hamming implies at
-    least one identical segment when bands > max_hamming), bucket-join,
-    verify hamming distance with bit_count."""
+    least one identical segment when bands > max_hamming), bucket-join
+    with the oversized-bucket guard, verify hamming with bit_count."""
     assert bands > max_hamming, "pigeonhole needs bands > max_hamming"
     sigs = simhash(df, id_col, text_col)
     seg_bits = 64 // bands
@@ -253,21 +317,14 @@ def simhash_pairs(
             for b in range(bands)
         ]
     )
-    segs = sigs.select(
-        "doc", "simhash", F.posexplode(seg_array).alias("band", "bucket")
+    segs = sigs.select("doc", F.posexplode(seg_array).alias("band", "bucket"))
+    cand = _bucket_pairs(segs, max_bucket_size)
+    a = sigs.select(F.col("doc").alias("doc_a"), F.col("simhash").alias("sig_a"))
+    b = sigs.select(F.col("doc").alias("doc_b"), F.col("simhash").alias("sig_b"))
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
     )
-    cand = (
-        segs.alias("x")
-        .join(segs.alias("y"), ["band", "bucket"])
-        .where(F.col("x.doc") < F.col("y.doc"))
-        .select(
-            F.col("x.doc").alias("doc_a"),
-            F.col("y.doc").alias("doc_b"),
-            F.col("x.simhash").alias("sig_a"),
-            F.col("y.simhash").alias("sig_b"),
-        )
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
-    return cand.withColumn(
-        "hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
-    ).where(F.col("hamming") <= max_hamming).select("doc_a", "doc_b", "hamming")
