@@ -327,6 +327,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "id_a", "id_b", F.round("cosine", 6).alias("cosine")
         )
 
+    def q_ann_ivf(spark, sf):
+        # rows-only: IVF approximate path (probe-limited scan)
+        e = spark.read.parquet(f"{sf}/embeddings.parquet")
+        q = e.where("vec_id < 3").select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        return similarity.ivf_topk(e, q, k=10, n_centroids=16, n_probe=4).select(
+            "query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank"
+        )
+
     def q_closure(spark, sf):
         o = spark.read.parquet(f"{sf}/orders.parquet")
         edges = o.select(
@@ -407,6 +417,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnowing": q_winnowing,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
         "closure": q_closure,
         "block_stats": q_block_stats,
         "pipeline_clusters": q_pipeline_clusters,

@@ -72,6 +72,40 @@ def dedup_stream(
     )
 
 
+def first_seen_indicators(indicators: DataFrame) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): emit each
+    indicator IP exactly once — the first time it is ever seen — with
+    its first timestamp; later sightings only bump the per-key state
+    counter.  The threat-intel "new indicator" feed, with state bounded
+    by the distinct-indicator count.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "ip string, first_ts timestamp, hits long"
+    state_schema = "first_ts timestamp, hits long"
+
+    def fn(key, pdfs, state: GroupState):
+        total = 0
+        first = None
+        for pdf in pdfs:
+            total += len(pdf)
+            batch_min = pdf["ts"].min()
+            first = batch_min if first is None else min(first, batch_min)
+        if state.exists:
+            old_first, old_hits = state.get
+            state.update((old_first, old_hits + total))
+            return iter(())
+        state.update((first, total))
+        return iter(
+            [pd.DataFrame([{"ip": key[0], "first_ts": first, "hits": total}])]
+        )
+
+    return indicators.groupBy("ip").applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
 def enrich_stream(stream: DataFrame, ip_col: str | Column, db_dir: str | None = None) -> DataFrame:
     """Geo-enrich a streaming indicator column; the broadcast interval
     table is resolved once at plan time, exactly as in batch."""

@@ -208,3 +208,28 @@ def test_frame_sampling(spark, docs):
         expected = math.floor(max(nf - 1, 0) / 7) + 1
         got = sum(1 for f in frames if f.media_id == mid)
         assert got == expected
+
+
+def test_ivf_topk_recall_vs_bruteforce(spark):
+    """IVF with generous n_probe recovers most exact neighbors."""
+    rng = np.random.default_rng(21)
+    # clustered data so IVF is meaningful: 8 gaussian blobs
+    centers = rng.standard_normal((8, 12)) * 4
+    rows = []
+    for i in range(400):
+        c = i % 8
+        v = centers[c] + rng.standard_normal(12) * 0.3
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.where("vec_id < 5").select(F.col("vec_id").alias("query_id"), "embedding")
+    exact = similarity.brute_force_topk(df, q, k=5).collect()
+    approx = similarity.ivf_topk(df, q, k=5, n_centroids=8, n_probe=3).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.vec_id)
+    hits = total = 0
+    for r in approx:
+        total += 1
+        hits += r.vec_id in exact_sets[r.query_id]
+    assert total == 25
+    assert hits / total >= 0.8, (hits, total)

@@ -80,3 +80,38 @@ def test_streaming_dedup(spark, tmp_path):
     ips = [r.ip for r in out.collect()]
     assert sorted(set(ips)) == sorted(ips)  # no duplicate ip rows
     assert "67.43.156.1" in ips and "8.8.8.8" in ips
+
+
+def test_first_seen_stateful(spark, tmp_path):
+    """applyInPandasWithState: an indicator is emitted only on its
+    first sighting across micro-batches."""
+    base = dt.datetime(2026, 1, 1)
+    in_dir = tmp_path / "state_in"
+    in_dir.mkdir()
+    batch1 = [(base, "first 67.43.156.1 here"), (base, "also 8.8.8.8")]
+    batch2 = [
+        (base + dt.timedelta(minutes=1), "again 67.43.156.1 repeat"),
+        (base + dt.timedelta(minutes=1), "new 9.9.9.9"),
+    ]
+    spark.createDataFrame(batch1, SCHEMA).coalesce(1).write.parquet(str(in_dir / "b1"))
+    spark.createDataFrame(batch2, SCHEMA).coalesce(1).write.parquet(str(in_dir / "b2"))
+
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir / "b*"))
+    )
+    ind = se.extract_indicators_stream(stream, "text", "ts")
+    firsts = se.first_seen_indicators(ind)
+    q = (
+        firsts.writeStream.format("memory")
+        .queryName("first_seen")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = {r.ip: r for r in spark.table("first_seen").collect()}
+    # each indicator appears exactly once despite the repeat in batch 2
+    assert set(rows) == {"67.43.156.1", "8.8.8.8", "9.9.9.9"}
