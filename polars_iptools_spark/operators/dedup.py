@@ -219,18 +219,14 @@ def minhash_lsh_pairs(
         sets = sets.persist(StorageLevel.MEMORY_AND_DISK)
     sigs = sets.select(
         "doc", "shs", _minhash_sig_array(F.col("shs"), num_hashes).alias("_sig")
-    ).select(
-        "doc", "shs",
-        *[F.col("_sig")[i].alias(f"h{i}") for i in range(num_hashes)],
     )
-    # band hash = xxhash64 over the band's signature slice; ONE
-    # posexplode pass instead of a bands-way union, so the signature
+    # band hash = xxhash64 of the band's signature-array SLICE (xxhash64
+    # hashes arrays structurally) — no per-element column extraction;
+    # ONE posexplode pass instead of a bands-way union, so the signature
     # subtree is evaluated once per join side, not once per band
     band_hashes = F.array(
         *[
-            F.xxhash64(
-                *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
-            )
+            F.xxhash64(F.slice("_sig", b * rows_per_band + 1, rows_per_band))
             for b in range(bands)
         ]
     )
