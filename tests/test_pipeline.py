@@ -129,3 +129,23 @@ def test_ipv6_block_prefix(spark):
     keys = {r.rid: r.block_key for r in keyed.collect()}
     assert keys[1].split("|")[1] == "2001:db8:85a3::/48"
     assert keys[2].split("|")[1] == "8.8.8"
+
+
+def test_read_corpus_seam(spark, corpus_truth, tmp_path):
+    """read_corpus loads parquet with the input_hint schema and rejects
+    tables missing required columns."""
+    from polars_iptools_spark.sources.corpus import read_corpus
+
+    corpus, _ = corpus_truth
+    p = str(tmp_path / "corpus.parquet")
+    corpus.write.parquet(p)
+    back = read_corpus(spark, p)
+    assert back.columns == ["repo", "path", "commit", "lang", "content"]
+    assert back.count() == corpus.count()
+
+    bad = str(tmp_path / "bad.parquet")
+    corpus.drop("content").write.parquet(bad)
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="missing columns"):
+        read_corpus(spark, bad)
