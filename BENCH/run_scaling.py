@@ -29,6 +29,7 @@ def main() -> None:
     ap.add_argument("--ckpt", required=True)
     ap.add_argument("--out", required=True)
     ap.add_argument("--threshold", type=float, default=0.72)
+    ap.add_argument("--truth", default=None, help="truth parquet (commit, entity) to also report pairwise F1")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -49,8 +50,16 @@ def main() -> None:
     n_clusters = res["clusters"].agg(F.countDistinct("cluster_id")).collect()[0][0]
     wall = time.monotonic() - t0
 
+    f1 = None
+    if args.truth:
+        from polars_iptools_spark.plans.pipeline import pairwise_f1
+
+        truth = spark.read.parquet(args.truth)
+        f1 = pairwise_f1(res["clusters"], truth, res["blocked"])
+
     out = {
         "cores": cores,
+        "f1": f1,
         "files": n_files,
         "clusters": n_clusters,
         "wall_sec": round(wall, 3),

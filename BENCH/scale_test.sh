@@ -49,6 +49,7 @@ for CORES in "$N" "$N4"; do
       BENCH/run_scaling.py \
       --corpus "$WORK/corpus.parquet" \
       --ckpt "$WORK/ckpt_${CORES}_${REP}" \
+      --truth "$WORK/truth.parquet" \
       --out "$WORK/result_${CORES}_${REP}.json" 2>/dev/null
   done
 done
