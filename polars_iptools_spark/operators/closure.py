@@ -17,11 +17,23 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _normalize(edges: DataFrame) -> DataFrame:
-    e = edges.select(
+def _aligned(edges: DataFrame) -> DataFrame:
+    """src/dst projected to ONE orderable type: node ids pass through
+    when the two sides already agree (so 128-bit hex-string rids and
+    native longs both work), else both are cast to long (legacy mixed
+    numeric inputs)."""
+    t_src = edges.schema["src"].dataType
+    t_dst = edges.schema["dst"].dataType
+    if t_src == t_dst:
+        return edges.select("src", "dst")
+    return edges.select(
         F.col("src").cast("long").alias("src"),
         F.col("dst").cast("long").alias("dst"),
-    ).where(F.col("src") != F.col("dst"))
+    )
+
+
+def _normalize(edges: DataFrame) -> DataFrame:
+    e = edges.where(F.col("src") != F.col("dst"))
     return e.select(
         F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
     ).dropDuplicates()
@@ -81,12 +93,13 @@ def connected_components(
     Nodes appearing only in self-loops / isolated are still returned
     (component = themselves).
     """
+    aligned = _aligned(edges)
     all_nodes = (
-        edges.select(F.col("src").cast("long").alias("node"))
-        .union(edges.select(F.col("dst").cast("long").alias("node")))
+        aligned.select(F.col("src").alias("node"))
+        .union(aligned.select(F.col("dst").alias("node")))
         .dropDuplicates()
     )
-    e = _normalize(edges)
+    e = _normalize(aligned)
     if checkpoint:
         e = e.localCheckpoint(eager=True)
     prev = None

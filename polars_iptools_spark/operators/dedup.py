@@ -198,17 +198,25 @@ def minhash_lsh_pairs(
     rows_per_band = num_hashes // bands
     sets = shingle_sets(df, id_col, text_col, k)
     if max_shingle_freq:
-        # hot-shingle skew guard over the set representation
+        # Hot-shingle skew guard on the EXPLODED representation (same
+        # shape as _shingle_index): explode -> broadcast left_anti ->
+        # re-collect per doc.  The earlier variant collect_set-folded
+        # every hot shingle into ONE driver row and crossJoined it —
+        # at 100 TB the hot set is unbounded and that single row blows
+        # executor/driver memory; here hot shingles stay distributed
+        # (bounded per-partition) and only the anti-join side is
+        # broadcast, row-by-row.
+        exploded = sets.select("doc", F.explode("shs").alias("sh"))
         hot = (
-            sets.select(F.explode("shs").alias("sh"))
-            .groupBy("sh")
+            exploded.groupBy("sh")
             .agg(F.count(F.lit(1)).alias("c"))
             .where(F.col("c") > max_shingle_freq)
-            .agg(F.collect_set("sh").alias("hot"))
         )
-        sets = sets.crossJoin(F.broadcast(hot)).select(
-            "doc", F.array_except("shs", F.coalesce("hot", F.array())).alias("shs")
-        ).where(F.size("shs") > 0)
+        sets = (
+            exploded.join(F.broadcast(hot.select("sh")), "sh", "left_anti")
+            .groupBy("doc")
+            .agg(F.collect_list("sh").alias("shs"))
+        )
     if persist_sets:
         # the (filtered) shingle-set subtree feeds signatures, both
         # sides of the bucket self-join and both sides of the
