@@ -19,7 +19,9 @@ from pyspark.sql.types import DoubleType
 
 def jaro(s1: str, s2: str) -> float:
     if s1 == s2:
-        return 1.0
+        # both-empty -> 0.0 (DuckDB jaro_winkler_similarity convention;
+        # also the saner linkage semantic: no evidence, no similarity)
+        return 1.0 if s1 else 0.0
     l1, l2 = len(s1), len(s2)
     if l1 == 0 or l2 == 0:
         return 0.0
@@ -53,8 +55,20 @@ def jaro(s1: str, s2: str) -> float:
     return (matches / l1 + matches / l2 + (matches - t) / matches) / 3.0
 
 
-def jaro_winkler(s1: str, s2: str, p: float = 0.1, max_prefix: int = 4) -> float:
+def jaro_winkler(
+    s1: str,
+    s2: str,
+    p: float = 0.1,
+    max_prefix: int = 4,
+    boost_threshold: float = 0.7,
+) -> float:
+    """Winkler's standard definition: the prefix boost applies only when
+    the Jaro similarity exceeds ``boost_threshold`` (0.7, matching
+    DuckDB's ``jaro_winkler_similarity`` used as the oracle).  Pass
+    ``boost_threshold=0.0`` for the unconditional variant."""
     jw = jaro(s1, s2)
+    if jw <= boost_threshold:
+        return jw
     prefix = 0
     for a, b in zip(s1, s2):
         if a != b or prefix >= max_prefix:
@@ -63,24 +77,146 @@ def jaro_winkler(s1: str, s2: str, p: float = 0.1, max_prefix: int = 4) -> float
     return jw + prefix * p * (1.0 - jw)
 
 
+def _pad_codepoints(strs: list[str]) -> tuple[np.ndarray, np.ndarray]:
+    """List of strings -> (N, Lmax) uint32 codepoint matrix (0-padded)
+    + length vector, built with one UTF-32 decode and one scatter."""
+    n = len(strs)
+    lens = np.fromiter((len(s) for s in strs), dtype=np.int64, count=n)
+    lmax = max(int(lens.max()), 1) if n else 1
+    M = np.zeros((n, lmax), dtype=np.uint32)
+    total = int(lens.sum())
+    if total:
+        codes = np.frombuffer("".join(strs).encode("utf-32-le"), dtype=np.uint32)
+        rows = np.repeat(np.arange(n), lens)
+        off = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        cols = np.arange(total) - np.repeat(off, lens)
+        M[rows, cols] = codes
+    return M, lens
+
+
+def _jaro_matrix(
+    A: np.ndarray, B: np.ndarray, l1: np.ndarray, l2: np.ndarray
+) -> np.ndarray:
+    """Vectorized Jaro over N string pairs at once: the greedy matching
+    scan runs as O(Lmax^2) numpy ops each N wide, instead of N separate
+    O(L^2) Python loops — the 10-50x hot-path lever for the linkage
+    pipeline's candidate-scoring stage."""
+    n = len(l1)
+    res = np.zeros(n, dtype=np.float64)
+    if n == 0:
+        return res
+    L1, L2 = A.shape[1], B.shape[1]
+    window = np.maximum(np.maximum(l1, l2) // 2 - 1, 0)
+    wmax = int(window.max())
+    # transposed (L, N) layout: the scan below reads whole positions at
+    # a time, and a position must be one contiguous row, not a strided
+    # column (measured ~3x on path-length strings)
+    AT = np.ascontiguousarray(A.T)
+    BT = np.ascontiguousarray(B.T)
+    m1t = np.zeros((L1, n), dtype=bool)
+    m2t = np.zeros((L2, n), dtype=bool)
+    for i in range(int(l1.max())):
+        act = i < l1
+        lo = np.maximum(0, i - window)
+        hi = np.minimum(l2, i + window + 1)
+        c = AT[i]
+        pending = act.copy()
+        for j in range(max(0, i - wmax), min(L2, i + wmax + 1)):
+            if not pending.any():
+                break
+            ok = pending & (j >= lo) & (j < hi) & ~m2t[j] & (BT[j] == c)
+            m1t[i] |= ok
+            m2t[j] |= ok
+            pending &= ~ok
+    m1 = np.ascontiguousarray(m1t.T)
+    m2 = np.ascontiguousarray(m2t.T)
+    matches = m1.sum(axis=1)
+    # transpositions: compact the matched characters of each side in
+    # order (scatter by running match count), then count mismatches
+    order1 = m1.cumsum(axis=1) - 1
+    order2 = m2.cumsum(axis=1) - 1
+    C1 = np.zeros(A.shape, dtype=np.uint32)
+    C2 = np.zeros(B.shape, dtype=np.uint32)
+    r, c = np.nonzero(m1)
+    C1[r, order1[r, c]] = A[r, c]
+    r, c = np.nonzero(m2)
+    C2[r, order2[r, c]] = B[r, c]
+    L = min(L1, L2)  # matches <= min(l1, l2) <= L
+    t = (
+        (C1[:, :L] != C2[:, :L]) & (np.arange(L) < matches[:, None])
+    ).sum(axis=1) // 2
+    nz = matches > 0
+    m = matches[nz].astype(np.float64)
+    res[nz] = (m / l1[nz] + m / l2[nz] + (m - t[nz]) / m) / 3.0
+    return res
+
+
+def jaro_winkler_batch(
+    av: np.ndarray,
+    bv: np.ndarray,
+    p: float = 0.1,
+    max_prefix: int = 4,
+    boost_threshold: float = 0.7,
+) -> np.ndarray:
+    """Jaro-Winkler over object arrays of strings (None/non-str -> 0.0).
+
+    Identical (a, b) pairs are scored once: candidate streams repeat
+    repo names and path stems massively, so the unique set is typically
+    a small fraction of the batch."""
+    n = len(av)
+    out = np.zeros(n, dtype=np.float64)
+    if n == 0:
+        return out
+    # C-level factorize of the (a, b) pair: factorize each side
+    # independently, then combine the integer codes — collision-free
+    # for ANY string content (string-concat keys are not: a separator
+    # char can appear in a key, and pandas concat silently drops NUL
+    # bytes).  First occurrence per combined code recovers the unique
+    # pair list without any per-row Python.
+    ca, _ = pd.factorize(pd.Series(av))  # -1 for null/non-str
+    cb, _ = pd.factorize(pd.Series(bv))
+    valid = (ca >= 0) & (cb >= 0)
+    codes = np.where(
+        valid, ca.astype(np.int64) * (int(cb.max()) + 2) + cb, -1
+    )
+    ucodes, first = np.unique(codes, return_index=True)
+    if len(ucodes) and ucodes[0] == -1:  # nulls -> 0.0
+        ucodes, first = ucodes[1:], first[1:]
+    if not len(ucodes):
+        return out
+    ua, ub = av[first], bv[first]
+    uscore = np.zeros(len(ua), dtype=np.float64)
+    # identical non-empty strings score 1.0 without touching the matrix
+    eq = np.fromiter(
+        (x == y for x, y in zip(ua, ub)), dtype=bool, count=len(ua)
+    )
+    uscore[eq & (ua != "")] = 1.0
+    ne = np.flatnonzero(~eq)
+    if len(ne):
+        A, l1 = _pad_codepoints(list(ua[ne]))
+        B, l2 = _pad_codepoints(list(ub[ne]))
+        jw = _jaro_matrix(A, B, l1, l2)
+        pmax = min(max_prefix, A.shape[1], B.shape[1])
+        if pmax:
+            pref_eq = (A[:, :pmax] == B[:, :pmax]) & (
+                np.arange(pmax) < np.minimum(l1, l2)[:, None]
+            )
+            prefix = np.cumprod(pref_eq, axis=1).sum(axis=1)
+            boosted = jw + prefix * p * (1.0 - jw)
+            jw = np.where(jw > boost_threshold, boosted, jw)
+        uscore[ne] = jw
+    # scatter unique scores back through the codes; ucodes is the sorted
+    # unique code list so positions align with searchsorted
+    hit = codes >= 0
+    out[hit] = uscore[np.searchsorted(ucodes, codes[hit])]
+    return out
+
+
 @F.pandas_udf(DoubleType())
 def jaro_winkler_udf(a: pd.Series, b: pd.Series) -> pd.Series:
-    av = a.to_numpy(dtype=object)
-    bv = b.to_numpy(dtype=object)
-    out = np.empty(len(av), dtype=np.float64)
-    cache: dict[tuple[str, str], float] = {}
-    for i in range(len(av)):
-        x, y = av[i], bv[i]
-        if x is None or y is None:
-            out[i] = 0.0
-            continue
-        key = (x, y)
-        v = cache.get(key)
-        if v is None:
-            v = jaro_winkler(x, y)
-            cache[key] = v
-        out[i] = v
-    return pd.Series(out)
+    return pd.Series(
+        jaro_winkler_batch(a.to_numpy(dtype=object), b.to_numpy(dtype=object))
+    )
 
 
 def levenshtein_sim(a: Column, b: Column) -> Column:
