@@ -325,12 +325,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def q_ann_lsh(spark, sf):
-        # rows-only (hyperplane LSH path; exact-verified cosines)
+        # rows-only (hyperplane LSH path; exact-verified cosines);
+        # 16 tables x 6 planes tuned for the loose 0.3 threshold
         e = spark.read.parquet(f"{sf}/embeddings.parquet")
         dim = len(e.select("embedding").first()[0])
-        return similarity.lsh_near_duplicates(e, dim=dim, threshold=0.3).select(
-            "id_a", "id_b", F.round("cosine", 6).alias("cosine")
-        )
+        return similarity.lsh_near_duplicates(
+            e, dim=dim, threshold=0.3, n_tables=16, n_planes=6
+        ).select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
     def q_ann_ivf(spark, sf):
         # rows-only: IVF approximate path (probe-limited scan)

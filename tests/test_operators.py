@@ -122,6 +122,35 @@ def test_lsh_near_duplicates_finds_planted(spark):
     assert (0, 99) in pairs
 
 
+def test_lsh_banded_recall_at_095(spark):
+    """Banded multi-table LSH must recover >=90% of true >=0.95-cosine
+    pairs at the 8x12 defaults (single-table LSH decays to ~28% here)."""
+    rng = np.random.default_rng(11)
+    dim = 32
+    base = rng.standard_normal((60, dim))
+    rows = [(i, [float(x) for x in base[i]]) for i in range(60)]
+    planted = []
+    for i in range(30):
+        noisy = base[i] + rng.standard_normal(dim) * 0.20
+        rows.append((100 + i, [float(x) for x in noisy]))
+        cos = float(
+            base[i] @ noisy / (np.linalg.norm(base[i]) * np.linalg.norm(noisy))
+        )
+        planted.append(((i, 100 + i), cos))
+    truth = {p for p, cos in planted if cos >= 0.95}
+    assert len(truth) >= 20  # the construction must actually plant pairs
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        (r.id_a, r.id_b)
+        for r in similarity.lsh_near_duplicates(df, dim=dim, threshold=0.95).collect()
+    }
+    recall = sum(1 for p in truth if p in got) / len(truth)
+    assert recall >= 0.9, (recall, len(truth))
+    # precision is exact by construction: every emitted pair is verified
+    for r in similarity.lsh_near_duplicates(df, dim=dim, threshold=0.95).collect():
+        assert r.cosine >= 0.95
+
+
 def test_token_counts(spark, docs):
     rows = docs.select(
         "doc_id",
