@@ -83,9 +83,15 @@ class FlatTable:
 
 
 class BroadcastedDB:
-    """Lazy singleton: build FlatTables once per (dir, mtimes) and ship
-    via SparkContext.broadcast when a session is active; plain closure
-    capture otherwise (tests, driver-local)."""
+    """Lazy singleton: build FlatTables once per directory and ship via
+    SparkContext.broadcast when a session is active; plain closure
+    capture otherwise (tests, driver-local).
+
+    An MMDB file replaced in-place in the SAME directory is served from
+    the cached tables until the caller passes ``reload_mmdb=True`` —
+    deliberately matching the reference's explicit ``MaxMindDB::reload``
+    semantics (/root/reference/src/maxmind.rs:161-168), where updates
+    are an explicit operation, never an mtime side effect."""
 
     def __init__(self, builder):
         self._builder = builder  # (db_dir) -> dict[str, FlatTable]

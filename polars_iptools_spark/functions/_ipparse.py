@@ -88,6 +88,46 @@ def pack_ip_series(s: pd.Series) -> np.ndarray:
     return out
 
 
+def pack_ip_series_with_family(s: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+    """Like :func:`pack_ip_series` but also reports the TEXTUAL address
+    family per row (0 = null/invalid, 4 = dotted-quad literal, 6 =
+    parsed as IPv6 — including v4-mapped text like ``::ffff:1.2.3.4``).
+
+    The reference keeps two tries and routes by the parsed family
+    (/root/reference/src/iptools.rs:160-166): a v4-mapped IPv6 *string*
+    is a V6 address and must never match v4-only CIDR sets, even though
+    its 16-byte key equals the mapped IPv4's.
+    """
+    s = s.astype(object)
+    n = len(s)
+    out = np.full(n, None, dtype=object)
+    fam = np.zeros(n, dtype=np.int8)
+    if n == 0:
+        return out, fam
+    notnull = s.notna().to_numpy()
+    str_s = s.where(s.notna(), "")
+    octs = str_s.astype(str).str.extract(V4_FULLMATCH, expand=True)
+    v4mask = notnull & octs[0].notna().to_numpy()
+    if v4mask.any():
+        o = octs.loc[v4mask].astype(np.uint32).to_numpy()
+        nums = (o[:, 0] << 24) | (o[:, 1] << 16) | (o[:, 2] << 8) | o[:, 3]
+        packed = v4_num_to_packed16(nums)
+        out[np.flatnonzero(v4mask)] = [p.tobytes() for p in packed]
+        fam[v4mask] = 4
+    rest = np.flatnonzero(notnull & ~v4mask)
+    arr = s.to_numpy()
+    for i in rest:
+        v = arr[i]
+        if not isinstance(v, str) or ":" not in v:
+            continue
+        try:
+            out[i] = int128_to_bytes(int(ipaddress.IPv6Address(v)))
+            fam[i] = 6
+        except ValueError:
+            pass
+    return out, fam
+
+
 def packed16_to_str(b: bytes) -> str | None:
     """16-byte (or 4-byte) binary -> canonical string.
 

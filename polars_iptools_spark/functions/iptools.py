@@ -263,12 +263,23 @@ def to_string(expr: Column | str) -> Column:
 _BROADCAST_THRESHOLD = 1 << 20
 
 
-def _compile_networks(networks: Iterable[str]) -> list[tuple[int, int]]:
-    """Parse + dedup CIDRs driver-side; invalid CIDR raises eagerly,
-    matching the reference's build-time ComputeError
+def _compile_networks(
+    networks: Iterable[str],
+) -> tuple[list[tuple[int, int]], list[tuple[int, int]]]:
+    """Parse + dedup CIDRs driver-side into SEPARATE v4 / v6 interval
+    lists — the array-encoded equivalent of the reference's two tries
+    (/root/reference/src/iptools.rs:130-151): a v4 CIDR can only ever
+    match an address parsed as IPv4, and a v6 CIDR (including
+    ``::ffff:0:0/96``) only one parsed as IPv6.  Invalid CIDR raises
+    eagerly, matching the reference's build-time ComputeError
     (/root/reference/src/iptools.rs:144, tests/test_iptools.py:159-171).
-    The wrapper dedups and drops nulls like iptools.py:524."""
-    intervals = []
+    The wrapper dedups and drops nulls like iptools.py:524.
+
+    v4 intervals are expressed in the v4-mapped 128-bit space so both
+    families share the 16-byte |S16 searchsorted kernel.
+    """
+    v4: list[tuple[int, int]] = []
+    v6: list[tuple[int, int]] = []
     for net in sorted({n for n in networks if n is not None}):
         try:
             parsed = ipaddress.ip_network(net, strict=False)
@@ -277,10 +288,44 @@ def _compile_networks(networks: Iterable[str]) -> list[tuple[int, int]]:
         lo = int(parsed.network_address)
         hi = int(parsed.broadcast_address)
         if parsed.version == 4:
-            lo |= 0xFFFF00000000
-            hi |= 0xFFFF00000000
-        intervals.append((lo, hi))
-    return intervals
+            v4.append((lo | 0xFFFF00000000, hi | 0xFFFF00000000))
+        else:
+            v6.append((lo, hi))
+    return v4, v6
+
+
+# broadcast cache keyed by (SparkContext id, compiled interval tuple) so
+# repeated is_in calls with the same set reuse ONE broadcast instead of
+# leaking a new one per call
+_BC_CACHE: dict = {}
+
+
+def _broadcast_intervals(tables: tuple) -> object | None:
+    nbytes = sum(a.nbytes for a in tables)
+    if nbytes <= _BROADCAST_THRESHOLD:
+        return None
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        return None
+    try:
+        sc = spark.sparkContext
+        key = (id(sc), tuple(a.tobytes() for a in tables))
+        bc = _BC_CACHE.get(key)
+        if bc is None:
+            if len(_BC_CACHE) > 8:
+                for old in _BC_CACHE.values():
+                    try:
+                        old.unpersist()
+                    except Exception:
+                        pass
+                _BC_CACHE.clear()
+            bc = sc.broadcast(tables)
+            _BC_CACHE[key] = bc
+        return bc
+    except Exception:
+        # Spark Connect has no sparkContext — fall back to closure
+        # capture, like _enrich.BroadcastedDB.broadcast
+        return None
 
 
 def is_in(expr: Column | str, networks: Iterable[str]) -> Column:
@@ -288,23 +333,23 @@ def is_in(expr: Column | str, networks: Iterable[str]) -> Column:
 
     null IP -> null, invalid IP -> null (NOT false), valid non-member ->
     false (/root/reference/src/iptools.rs:125-176,
-    tests/test_iptools.py:135-156).  The network set is compiled once on
-    the driver into sorted interval arrays (array-encoded equivalent of
-    the reference's LC-trie) and shipped to executors — as a closure for
-    small sets, as a Spark broadcast above 1 MiB.
+    tests/test_iptools.py:135-156).  Family routing matches the
+    reference's two-trie split (src/iptools.rs:160-166): a dotted-quad
+    string checks only v4 CIDRs; anything parsed as IPv6 — including
+    v4-mapped text like ``::ffff:1.2.3.4`` — checks only v6 CIDRs.
+    The network set is compiled once on the driver into sorted interval
+    arrays and shipped to executors — as a closure for small sets, as a
+    cached Spark broadcast above 1 MiB.
     """
-    intervals = _compile_networks(list(networks))
+    v4_iv, v6_iv = _compile_networks(list(networks))
 
     # fast path: a small all-IPv4 set compiles to a pure-Catalyst range
     # disjunction over the numeric form — no Python worker at all
-    all_v4 = all(
-        lo >= 0xFFFF00000000 and hi <= 0xFFFFFFFFFFFF for lo, hi in intervals
-    )
-    if all_v4 and len(intervals) <= 64:
+    if not v6_iv and len(v4_iv) <= 64:
         c = _col(expr)
         n = ipv4_to_numeric(c)
         member = F.lit(False)
-        for lo, hi in intervals:
+        for lo, hi in v4_iv:
             lo32, hi32 = lo & 0xFFFFFFFF, hi & 0xFFFFFFFF
             member = member | ((n >= lo32) & (n <= hi32))
         return (
@@ -315,20 +360,23 @@ def is_in(expr: Column | str, networks: Iterable[str]) -> Column:
             .otherwise(F.lit(None).cast("boolean"))
         )
 
-    lo_arr, hi_arr = _ipparse.sort_intervals(intervals)
-
-    bc = None
-    if lo_arr.nbytes + hi_arr.nbytes > _BROADCAST_THRESHOLD:
-        spark = SparkSession.getActiveSession()
-        if spark is not None:
-            bc = spark.sparkContext.broadcast((lo_arr, hi_arr))
+    lo4, hi4 = _ipparse.sort_intervals(v4_iv)
+    lo6, hi6 = _ipparse.sort_intervals(v6_iv)
+    tables = (lo4, hi4, lo6, hi6)
+    bc = _broadcast_intervals(tables)
 
     @F.pandas_udf(BooleanType())
     def _is_in_udf(s: pd.Series) -> pd.Series:
-        lo, hi = bc.value if bc is not None else (lo_arr, hi_arr)
-        keys = _ipparse.pack_ip_series(s)
-        mask = np.array([k is not None for k in keys])
-        return pd.Series(_ipparse.membership(keys, mask, lo, hi))
+        l4, h4, l6, h6 = bc.value if bc is not None else tables
+        keys, fam = _ipparse.pack_ip_series_with_family(s)
+        out = np.full(len(keys), None, dtype=object)
+        m4 = fam == 4
+        m6 = fam == 6
+        if m4.any():
+            out[m4] = _ipparse.membership(keys, m4, l4, h4)[m4]
+        if m6.any():
+            out[m6] = _ipparse.membership(keys, m6, l6, h6)[m6]
+        return pd.Series(out)
 
     return _is_in_udf(_col(expr))
 

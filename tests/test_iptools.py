@@ -144,6 +144,23 @@ def test_is_in_invalid_network(spark):
         ip.is_in("ip", {"8.8.8.0/55"})
 
 
+def test_is_in_v4_mapped_text_is_v6_family(spark):
+    """Two-trie family split (ref src/iptools.rs:160-166): v4-mapped
+    IPv6 TEXT must not match v4-only CIDRs, and ::ffff:0:0/96 (a v6
+    CIDR) must not match plain dotted-quad strings."""
+    # mixed set (forces the UDF path): v4-only coverage of 8.8.8.0/24
+    nets = ["8.8.8.0/24", "2606:4700::/32"]
+    ips = ["8.8.8.8", "::ffff:8.8.8.8", "::ffff:808:808", "2606:4700::1"]
+    assert run(spark, ips, "ip", ip.is_in("ip", nets)) == [
+        True, False, False, True,
+    ]
+    # v6 CIDR covering the v4-mapped range matches v6 text, not v4 text
+    nets6 = ["::ffff:0:0/96", "2606:4700::/32"]
+    assert run(spark, ips, "ip", ip.is_in("ip", nets6)) == [
+        False, True, True, True,
+    ]
+
+
 # -- extract_ips (ref :174-198) ---------------------------------------------
 
 

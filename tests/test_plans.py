@@ -104,3 +104,33 @@ def test_geoip_udf_input_is_narrow(spark, tmp_path):
     p = plan_of(df)
     assert "ReadSchema: struct<ipc:string>" in p
     assert "junk1" not in p.split("ReadSchema")[1][:200]
+
+
+def test_ip_prefix_v6_expands_compression(spark):
+    """Equal /48s must share one block key regardless of where ``::``
+    compression or leading zeros fall (ADVICE: naive token-slicing put
+    2606:4700::1111 and 2606:4700:0:1::1 in different blocks)."""
+    import ipaddress
+
+    from polars_iptools_spark.plans.blocking import ip_prefix
+
+    cases = [
+        "2606:4700::1111",
+        "2606:4700:0:1::1",
+        "2606:4700:0000:0002::5",   # non-canonical leading zeros
+        "2606:4700:1:2:3:4:5:6",    # no compression
+        "::1",
+        "::ffff:8.8.8.8",           # v4-mapped tail
+        "fe80::1",
+        "1.2.3.4",
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], "ip string")
+    got = {r.ip: r.p for r in df.select("ip", ip_prefix(F.col("ip")).alias("p")).collect()}
+    for c in cases:
+        if ":" in c:
+            exp = ":".join(format(int(g, 16), "x") for g in ipaddress.ip_address(c).exploded.split(":")[:3]) + "::/48"
+        else:
+            exp = ".".join(c.split(".")[:3])
+        assert got[c] == exp, (c, got[c], exp)
+    # the two same-/48 addresses group together
+    assert got["2606:4700::1111"] == got["2606:4700:0:1::1"] == got["2606:4700:0000:0002::5"]
