@@ -133,6 +133,142 @@ _V4_FIND_SQL = (
 )
 
 
+def _derived_v6_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> (doc_id, vtext): fully doc_id-determined text mixing
+    IPv6 forms that exercise canonicalization (bracketed+port, full
+    uncompressed, defanged, v4-mapped) with one public IPv4."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    seg = (
+        F.when(F.col("doc_id") % 4 == 0, F.lit("[2001:DB8::2:1]:443"))
+        .when(F.col("doc_id") % 4 == 1, F.lit("2606:4700:0:0:0:0:0:1111"))
+        .when(F.col("doc_id") % 4 == 2, F.lit("fe80[:]0[:]0[:]0[:]0[:]0[:]0[:]1"))
+        .otherwise(F.lit("::ffff:10.0.0.1"))
+    )
+    pub = F.concat_ws(
+        ".",
+        (F.col("doc_id") % 200 + 20).cast("string"),
+        (F.col("doc_id") % 251).cast("string"),
+        (F.col("doc_id") % 241).cast("string"),
+        (F.col("doc_id") % 254 + 1).cast("string"),
+    )
+    pub2 = F.when(F.col("doc_id") % 3 == 0, F.regexp_replace(pub, r"\.", "[.]")).otherwise(pub)
+    vtext = F.concat(F.lit("v6 "), seg, F.lit(" conn "), pub2, F.lit(" end"))
+    return d.select("doc_id", vtext.alias("vtext"))
+
+
+# expected extraction is fully determined by doc_id: canonical v6 form
+# per segment (incl. the Rust-style dotted v4-mapped rendering), then
+# the planted public IPv4 — an independent SQL construction of the
+# extractor's contract on this input
+_EXTRACT_V6_SQL = """
+SELECT doc_id,
+       concat(CASE doc_id % 4
+                WHEN 0 THEN '2001:db8::2:1'
+                WHEN 1 THEN '2606:4700::1111'
+                WHEN 2 THEN 'fe80::1'
+                ELSE '::ffff:10.0.0.1' END,
+              ',',
+              concat_ws('.', CAST(doc_id % 200 + 20 AS VARCHAR),
+                             CAST(doc_id % 251 AS VARCHAR),
+                             CAST(doc_id % 241 AS VARCHAR),
+                             CAST(doc_id % 254 + 1 AS VARCHAR))) AS ips_csv
+FROM documents
+"""
+
+# ---------------------------------------------------------------------------
+# enrichment oracle fixtures (driver-side, deterministic)
+# ---------------------------------------------------------------------------
+
+GEOIP_FIELDS = [
+    "asnnum", "asnorg", "city", "continent", "country", "country_iso",
+    "latitude", "longitude", "postalcode", "subdivision", "subdivision_iso",
+    "timezone",
+]
+
+
+def _oracle_dir() -> str:
+    import tempfile
+    from pathlib import Path
+
+    d = Path(tempfile.gettempdir()) / "pis_oracle_tables"
+    d.mkdir(exist_ok=True)
+    return str(d)
+
+
+def _dump_geoip_intervals() -> str:
+    """Decode the reference test MMDBs into per-interval parquet tables
+    (lo_hex, hi_hex, record fields) so DuckDB can replicate the lookup
+    with a plain range join — the oracle re-implements the SEARCH
+    independently; record decode is shared (it is the fixture)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pathlib import Path
+
+    from polars_iptools_spark.functions._enrich import build_geoip_tables
+
+    out = _oracle_dir()
+    tabs = build_geoip_tables(Path(MAXMIND_TEST_DIR))
+    for name, tab in tabs.items():
+        cols = {
+            "lo": [bytes(b).hex() for b in tab.lo.tolist()],
+            "hi": [bytes(b).hex() for b in tab.hi.tolist()],
+        }
+        for fname, col in tab.columns.items():
+            cols[fname] = [col[i] for i in tab.rec_idx]
+        pq.write_table(pa.table(cols), f"{out}/geoip_{name}.parquet")
+    return out
+
+
+# v4 keys live in the v4-mapped 128-bit space; the only v6 literal the
+# derived inputs contain is pinned by the CASE below
+_KEY_HEX_SQL = (
+    "CASE WHEN regexp_full_match(ip, '{v4re}')"
+    "     THEN concat('00000000000000000000ffff', lpad(lower(hex({num})), 8, '0'))"
+    "     WHEN ip = '2606:4700::1111'"
+    "     THEN '26064700000000000000000000001111'"
+    "     ELSE NULL END"
+)
+
+
+_SPUR_ENTRIES = [
+    (
+        "5.0.0.0/8",
+        {
+            "clientCount": 12.5,
+            "infrastructure": "DATACENTER",
+            "locationCity": "Amsterdam",
+            "locationCountry": "NL",
+            "locationState": "North Holland",
+            "services": ["VPN", "PROXY"],
+            "tag": "anon",
+        },
+    ),
+    ("77.0.0.0/8", {"infrastructure": "MOBILE", "clientCount": 3.0}),
+    (
+        "2606:4700::/32",
+        {
+            "clientCount": 1.25,
+            "infrastructure": "VPN_PROVIDER",
+            "services": ["TOR"],
+            "tag": "cf",
+        },
+    ),
+]
+
+
+def _spur_fixture_dir() -> str:
+    """Synthesize the spur.mmdb fixture (deterministic entries) into the
+    oracle temp dir; the reference ships no public Spur test file."""
+    import os
+    from polars_iptools_spark.sources.mmdb_writer import write_mmdb
+
+    out = _oracle_dir()
+    path = f"{out}/spur.mmdb"
+    if not os.path.exists(path):
+        write_mmdb(path, _SPUR_ENTRIES, database_type="spur")
+    return out
+
+
 # ---------------------------------------------------------------------------
 # queries
 # ---------------------------------------------------------------------------
@@ -232,11 +368,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def q_extract_ips_v6(spark, sf):
-        # rows-only: IPv6 canonicalization path
-        t = _derived_texts(spark, sf)
+        # IPv6 canonicalization path over fully doc_id-determined text:
+        # bracketed+port, uncompressed, defanged and v4-mapped forms
+        t = _derived_v6_texts(spark, sf)
         return t.select(
             "doc_id",
-            F.array_join(ip.extract_ips("itext", ipv6=True), ",").alias("ips_csv"),
+            F.array_join(ip.extract_ips("vtext", ipv6=True), ",").alias("ips_csv"),
         )
 
     def q_geoip_asn(spark, sf):
@@ -247,11 +384,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_geoip_full(spark, sf):
         g = ip.geoip.full("ip", db_dir=MAXMIND_TEST_DIR)
         return _derived_ips(spark, sf).select(
+            "rid", *[g[f].alias(f) for f in GEOIP_FIELDS]
+        )
+
+    def q_spur_full(spark, sf):
+        s = ip.spur.full("ip", db_dir=_spur_fixture_dir())
+        return _derived_ips(spark, sf).select(
             "rid",
-            g["asnnum"].alias("asnnum"),
-            g["country_iso"].alias("country_iso"),
-            g["latitude"].alias("latitude"),
-            g["timezone"].alias("timezone"),
+            s["client_count"].cast("double").alias("client_count"),
+            s["infrastructure"].alias("infrastructure"),
+            s["location_city"].alias("location_city"),
+            s["location_country"].alias("location_country"),
+            s["location_state"].alias("location_state"),
+            F.array_join(s["services"], ",").alias("services_csv"),
+            s["tag"].alias("tag"),
         )
 
     def q_exact_dedup(spark, sf):
@@ -367,7 +513,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def q_pipeline_clusters(spark, sf):
-        # rows-only: full record-linkage pipeline on the synthetic corpus
+        # full record-linkage pipeline on the synthetic corpus; the
+        # cluster-size histogram is the oracle-checkable invariant:
+        # 200 entities x 3 records each must resolve to EXACTLY 200
+        # clusters of size 3 (any fp merge or fn split changes the
+        # histogram)
         import tempfile
 
         from polars_iptools_spark.plans.pipeline import run_pipeline
@@ -375,8 +525,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         corpus, _ = synth_corpus(spark, n_entities=200, records_per_entity=3, n_blocks=20)
         res = run_pipeline(spark, corpus, tempfile.mkdtemp(prefix="plc_"))
-        return res["clusters"].groupBy("cluster_id").agg(
-            F.count(F.lit(1)).alias("members")
+        return (
+            res["clusters"]
+            .groupBy("cluster_id")
+            .agg(F.count(F.lit(1)).alias("members"))
+            .groupBy("members")
+            .agg(F.count(F.lit(1)).alias("n_clusters"))
         )
 
     def q_scoring(spark, sf):
@@ -394,9 +548,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def q_multimodal_meta(spark, sf):
+        # the payload-sha256 field stays pytest-covered (DuckDB cannot
+        # hash BLOBs); the other 6 decoded fields are oracle-checked
         d = spark.read.parquet(f"{sf}/documents.parquet")
         media = multimodal.attach_fake_media(d, "doc_id", "text")
-        return multimodal.extract_media_meta(media, "doc_id", "media")
+        return multimodal.extract_media_meta(media, "doc_id", "media").select(
+            "media_id", "n_bytes", "magic", "width", "height", "n_frames"
+        )
 
     return {
         "is_valid": q_is_valid,
@@ -412,6 +570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_ips_v6": q_extract_ips_v6,
         "geoip_asn": q_geoip_asn,
         "geoip_full": q_geoip_full,
+        "spur_full": q_spur_full,
         "exact_dedup": q_exact_dedup,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
@@ -438,6 +597,13 @@ def oracle_sql() -> dict[str, str]:
     ips = f"WITH ips AS ({_DERIVED_IPS_SQL})"
     texts = f"WITH texts AS ({_DERIVED_TEXTS_SQL})"
     valid_re = VALID_ANCHORED.replace("'", "''")
+
+    # enrichment oracles: interval tables dumped to parquet, range-joined
+    gd = _dump_geoip_intervals()
+    key_hex = _KEY_HEX_SQL.format(v4re=_V4_RE_SQL, num=_NUM_SQL)
+    keyed = f"""{ips},
+k AS (SELECT rid, ip, {key_hex} AS key FROM ips)"""
+    oct1 = f"(({_NUM_SQL}) >> 24)"
 
     # private check over the numeric form
     priv = (
@@ -538,6 +704,60 @@ SELECT doc_id,
          list_filter({extract_base}, x -> {is_priv_x}),
          ','), '') AS ips_csv
 FROM texts""",
+        "extract_ips_v6": _EXTRACT_V6_SQL,
+        "geoip_asn": f"""{keyed}
+SELECT k.rid,
+       CASE WHEN k.ip IS NULL THEN NULL
+            WHEN k.key IS NULL THEN ''
+            ELSE coalesce(a.asn_str, '') END AS asn
+FROM k LEFT JOIN read_parquet('{gd}/geoip_asn.parquet') a
+  ON k.key >= a.lo AND k.key <= a.hi""",
+        "geoip_full": f"""{keyed}
+SELECT k.rid,
+       CASE WHEN k.key IS NULL THEN NULL ELSE coalesce(a.asnnum, 0) END AS asnnum,
+       CASE WHEN k.key IS NULL THEN NULL ELSE coalesce(a.asnorg, '') END AS asnorg,
+       CASE WHEN k.key IS NULL THEN NULL ELSE coalesce(c.city, '') END AS city,
+       CASE WHEN k.key IS NULL THEN NULL ELSE coalesce(c.continent, '') END AS continent,
+       CASE WHEN k.key IS NULL THEN NULL ELSE coalesce(c.country, '') END AS country,
+       CASE WHEN k.key IS NULL THEN NULL ELSE coalesce(c.country_iso, '') END AS country_iso,
+       CASE WHEN k.key IS NULL THEN NULL ELSE coalesce(c.latitude, 0.0) END AS latitude,
+       CASE WHEN k.key IS NULL THEN NULL ELSE coalesce(c.longitude, 0.0) END AS longitude,
+       CASE WHEN k.key IS NULL THEN NULL ELSE coalesce(c.postalcode, '') END AS postalcode,
+       CASE WHEN k.key IS NULL THEN NULL ELSE coalesce(c.subdivision, '') END AS subdivision,
+       CASE WHEN k.key IS NULL THEN NULL ELSE coalesce(c.subdivision_iso, '') END AS subdivision_iso,
+       CASE WHEN k.key IS NULL THEN NULL ELSE coalesce(c.timezone, '') END AS timezone
+FROM k
+LEFT JOIN read_parquet('{gd}/geoip_asn.parquet') a ON k.key >= a.lo AND k.key <= a.hi
+LEFT JOIN read_parquet('{gd}/geoip_city.parquet') c ON k.key >= c.lo AND k.key <= c.hi""",
+        # spur fixture entries are known literals -> pure CASE oracle;
+        # 'nul' = null or invalid input (all-null struct per spur.rs:41-44)
+        "spur_full": f"""{ips},
+cat AS (
+  SELECT rid,
+         CASE WHEN ip IS NULL THEN 'nul'
+              WHEN ip = '2606:4700::1111' THEN 'v6'
+              WHEN NOT regexp_full_match(ip, '{_V4_RE_SQL}') THEN 'nul'
+              WHEN {oct1} = 5 THEN 'dc'
+              WHEN {oct1} = 77 THEN 'mob'
+              ELSE 'none' END AS c
+  FROM ips
+)
+SELECT rid,
+       CASE c WHEN 'v6' THEN 1.25 WHEN 'dc' THEN 12.5
+              WHEN 'mob' THEN 3.0 WHEN 'none' THEN 0.0 END AS client_count,
+       CASE c WHEN 'v6' THEN 'VPN_PROVIDER' WHEN 'dc' THEN 'DATACENTER'
+              WHEN 'mob' THEN 'MOBILE' WHEN 'none' THEN '' END AS infrastructure,
+       CASE c WHEN 'dc' THEN 'Amsterdam' WHEN 'v6' THEN ''
+              WHEN 'mob' THEN '' WHEN 'none' THEN '' END AS location_city,
+       CASE c WHEN 'dc' THEN 'NL' WHEN 'v6' THEN ''
+              WHEN 'mob' THEN '' WHEN 'none' THEN '' END AS location_country,
+       CASE c WHEN 'dc' THEN 'North Holland' WHEN 'v6' THEN ''
+              WHEN 'mob' THEN '' WHEN 'none' THEN '' END AS location_state,
+       CASE c WHEN 'dc' THEN 'VPN,PROXY' WHEN 'v6' THEN 'TOR'
+              WHEN 'mob' THEN '' WHEN 'none' THEN '' END AS services_csv,
+       CASE c WHEN 'dc' THEN 'anon' WHEN 'v6' THEN 'cf'
+              WHEN 'mob' THEN '' WHEN 'none' THEN '' END AS tag
+FROM cat""",
         "exact_dedup": """
 SELECT sha256(text) AS content_sha,
        min(doc_id) AS keep_id,
@@ -634,6 +854,31 @@ FROM (
 )""",
         "quality_score": _quality_sql(),
         "lang_id": _lang_id_sql(),
+        # fake-decode fields derived from sha256(text) hex: byte k of
+        # the payload is the k-th hex-digit pair
+        "multimodal_meta": """
+WITH m AS (SELECT doc_id AS media_id, sha256(text) AS h FROM documents),
+b AS (
+  SELECT media_id, h,
+         (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+           + strpos('0123456789abcdef', substr(h, 2, 1)) - 1 AS b0,
+         (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
+           + strpos('0123456789abcdef', substr(h, 4, 1)) - 1 AS b1,
+         (strpos('0123456789abcdef', substr(h, 5, 1)) - 1) * 16
+           + strpos('0123456789abcdef', substr(h, 6, 1)) - 1 AS b2
+  FROM m
+)
+SELECT media_id,
+       CAST(32 AS BIGINT) AS n_bytes,
+       substr(h, 1, 8) AS magic,
+       CAST(16 + b0 % 240 AS INTEGER) AS width,
+       CAST(16 + b1 % 240 AS INTEGER) AS height,
+       CAST(1 + b2 % 30 AS INTEGER) AS n_frames
+FROM b""",
+        # invariant of the synthetic linkage corpus (200 entities x 3
+        # records, pairwise F1 = 1.0): exactly 200 clusters of size 3
+        "pipeline_clusters": """
+SELECT CAST(3 AS BIGINT) AS members, CAST(200 AS BIGINT) AS n_clusters""",
     }
 
 

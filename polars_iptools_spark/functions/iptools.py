@@ -478,6 +478,17 @@ def _extract_row_fn(
                 return False
         return True
 
+    def canon(addr) -> str:
+        # Rust std Display keeps the dotted tail for v4-mapped IPv6
+        # ('::ffff:10.0.0.1'); Python renders hex groups — match the
+        # reference (/root/reference/src/iptools.rs:62 canonicalizes
+        # via IpAddr Display)
+        if addr.version == 6:
+            mapped = addr.ipv4_mapped
+            if mapped is not None:
+                return f"::ffff:{mapped}"
+        return str(addr)
+
     def run(text: str) -> list[str]:
         found: list[str] = []
         for m in _SCAN_RE.finditer(text):
@@ -485,7 +496,7 @@ def _extract_row_fn(
             addr = _validate_candidate(cand)
             if addr is None or not keep(addr):
                 continue
-            found.append(str(addr))
+            found.append(canon(addr))
         return found
 
     return run

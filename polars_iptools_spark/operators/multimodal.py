@@ -30,7 +30,7 @@ def attach_fake_media(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     for real image/audio bytes) plus its mime tag — the typed-metadata
     convention: (media binary, media_type string)."""
     return df.withColumn(
-        "media", F.to_binary(F.sha2(F.col(text_col), 512), F.lit("hex"))
+        "media", F.to_binary(F.sha2(F.col(text_col), 256), F.lit("hex"))
     ).withColumn(
         "media_type",
         F.element_at(

@@ -212,7 +212,7 @@ def test_multimodal_meta_schema_and_determinism(spark, docs):
     meta = multimodal.extract_media_meta(media, "doc_id", "media")
     rows = {r.media_id: r for r in meta.collect()}
     assert set(rows) == {d[0] for d in DOCS}
-    assert rows[0].n_bytes == 64  # sha512 payload
+    assert rows[0].n_bytes == 32  # sha256 payload
     again = {r.media_id: r for r in multimodal.extract_media_meta(
         media, "doc_id", "media").collect()}
     assert rows == again
