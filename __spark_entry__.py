@@ -547,6 +547,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.levenshtein("s_a", "s_b").alias("lev"),
         )
 
+    def q_streaming_first_seen(spark, sf):
+        # Structured Streaming correctness: the applyInPandasWithState
+        # first-seen feed over a deterministic single-file stream must
+        # equal the batch groupBy(ip).agg(min(ts), count) aggregation.
+        import tempfile
+        import uuid
+
+        from polars_iptools_spark.streaming.enrich import first_seen_indicators
+
+        d = spark.read.parquet(f"{sf}/documents.parquet")
+        ev = d.select(
+            F.concat(F.lit("9.9.9."), (F.col("doc_id") % 50).cast("string")).alias("ip"),
+            F.timestamp_seconds(
+                F.lit(1700000000) + (F.col("doc_id") * 37) % 1000
+            ).alias("ts"),
+        )
+        src = tempfile.mkdtemp(prefix="pis_stream_src_")
+        ev.coalesce(1).write.mode("overwrite").parquet(src)
+        stream = spark.readStream.schema(ev.schema).parquet(src)
+        qname = "q_first_seen_" + uuid.uuid4().hex[:8]
+        q = (
+            first_seen_indicators(stream)
+            .writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.table(qname).select(
+            "ip", F.unix_timestamp("first_ts").alias("first_ts"), "hits"
+        )
+
     def q_multimodal_meta(spark, sf):
         # the payload-sha256 field stays pytest-covered (DuckDB cannot
         # hash BLOBs); the other 6 decoded fields are oracle-checked
@@ -587,6 +620,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "block_stats": q_block_stats,
         "pipeline_clusters": q_pipeline_clusters,
         "scoring": q_scoring,
+        "streaming_first_seen": q_streaming_first_seen,
         "multimodal_meta": q_multimodal_meta,
     }
 
@@ -879,6 +913,15 @@ FROM b""",
         # records, pairwise F1 = 1.0): exactly 200 clusters of size 3
         "pipeline_clusters": """
 SELECT CAST(3 AS BIGINT) AS members, CAST(200 AS BIGINT) AS n_clusters""",
+        # the streaming first-seen feed over the full (single-batch)
+        # stream must equal the batch min/count aggregation
+        "streaming_first_seen": """
+SELECT ip,
+       1700000000 + min((doc_id * 37) % 1000) AS first_ts,
+       count(*) AS hits
+FROM (SELECT concat('9.9.9.', CAST(doc_id % 50 AS VARCHAR)) AS ip, doc_id
+      FROM documents)
+GROUP BY ip""",
     }
 
 

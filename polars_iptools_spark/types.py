@@ -48,3 +48,40 @@ def ip_columns(df: DataFrame) -> dict[str, str]:
     return {
         f.name: ip_dtype_of(f) for f in df.schema.fields if is_ip_column(f)
     }
+
+
+def to_arrow_tagged(df: DataFrame):
+    """Collect to a pyarrow Table with the ip dtype tags carried as
+    Arrow FIELD metadata — the IPC-file analog of the reference's
+    extension-type round-trip (tests/test_extension_types.py:278-305):
+    ``pa.ipc`` writes/reads this table with the tags intact."""
+    import pyarrow as pa
+
+    tbl = df.toArrow()
+    tags = ip_columns(df)
+    fields = []
+    for f in tbl.schema:
+        if f.name in tags:
+            md = dict(f.metadata or {})
+            md[_META_KEY.encode()] = tags[f.name].encode()
+            f = f.with_metadata(md)
+        fields.append(f)
+    return pa.Table.from_arrays(tbl.columns, schema=pa.schema(fields))
+
+
+def from_arrow_tagged(spark, tbl) -> DataFrame:
+    """pyarrow Table (e.g. read back from an IPC file) -> DataFrame with
+    the ip dtype tags restored as Spark field metadata."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(tbl)
+    cols = []
+    for f in tbl.schema:
+        tag = (f.metadata or {}).get(_META_KEY.encode())
+        if tag is not None and tag.decode() in IP_DTYPES:
+            cols.append(
+                F.col(f.name).alias(f.name, metadata={_META_KEY: tag.decode()})
+            )
+        else:
+            cols.append(F.col(f.name))
+    return df.select(cols)

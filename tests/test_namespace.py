@@ -73,3 +73,52 @@ def test_env_var_db_resolution(spark, monkeypatch):
     monkeypatch.setenv("MAXMIND_MMDB_DIR", MAXMIND_TEST_DIR)
     got = run(spark, ["67.43.156.1"], ipcol("ip").geoip_asn(reload_mmdb=True))
     assert got == ["AS35908"]
+
+
+def test_namespace_equivalence_both_paths(spark):
+    """Every namespace op must agree between the string-name path
+    (ipcol("ip")) and the Column-object path (ipcol(F.col("ip"))) AND
+    with the module-level function — the Spark analog of the
+    reference's Expr/Series dual coverage
+    (tests/test_extension_types.py:130-158)."""
+    import pyspark.sql.functions as F
+
+    import polars_iptools_spark as ip
+
+    data = ["8.8.8.8", "192.168.1.1", "2606:4700::1111", "999.9.9.9",
+            "not an ip", None, "x 7.7.7.7 and 10.0.0.5 y"]
+    df = spark.createDataFrame([(x,) for x in data], "ip string")
+    nets = ["8.8.8.0/24", "2606:4700::/32"]
+    ops = {
+        "is_valid": (lambda c: ipcol(c).is_valid(), lambda c: ip.is_valid(c)),
+        "is_private": (lambda c: ipcol(c).is_private(), lambda c: ip.is_private(c)),
+        "to_ipv4": (
+            lambda c: ipcol(c).to_ipv4().to_string(),
+            lambda c: ip.to_string(ip.to_ipv4(c)),
+        ),
+        "to_address": (
+            lambda c: ipcol(c).to_address().to_string(),
+            lambda c: ip.to_string(ip.to_address(c)),
+        ),
+        "is_in": (
+            lambda c: ipcol(c).is_in(nets),
+            lambda c: ip.is_in(c, nets),
+        ),
+        "extract_ips": (
+            lambda c: F.array_join(ipcol(c).extract_ips(), ","),
+            lambda c: F.array_join(ip.extract_ips(c), ","),
+        ),
+        "extract_public_ips": (
+            lambda c: F.array_join(ipcol(c).extract_public_ips(), ","),
+            lambda c: F.array_join(ip.extract_public_ips(c), ","),
+        ),
+        "extract_private_ips": (
+            lambda c: F.array_join(ipcol(c).extract_private_ips(), ","),
+            lambda c: F.array_join(ip.extract_private_ips(c), ","),
+        ),
+    }
+    for name, (ns_fn, mod_fn) in ops.items():
+        by_name = [r.r for r in df.select(ns_fn("ip").alias("r")).collect()]
+        by_col = [r.r for r in df.select(ns_fn(F.col("ip")).alias("r")).collect()]
+        by_mod = [r.r for r in df.select(mod_fn(F.col("ip")).alias("r")).collect()]
+        assert by_name == by_col == by_mod, (name, by_name, by_col, by_mod)

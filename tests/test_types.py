@@ -101,3 +101,30 @@ def test_metadata_tagging_and_parquet_roundtrip(spark, tmp_path):
     assert iptypes.ip_columns(back) == {"ip4": "ipv4", "addr": "ip_address"}
     vals = back.select(ip.to_string("addr").alias("result")).collect()
     assert sorted(r.result for r in vals) == ["2606:4700::1111", "8.8.8.8"]
+
+
+def test_metadata_ipc_roundtrip(spark, tmp_path):
+    """ref :278-305 — typed columns survive an Arrow IPC file with
+    their tag and values (the reference's write_ipc/read_ipc analog)."""
+    import pyarrow as pa
+
+    df = spark.createDataFrame(
+        [("8.8.8.8",), ("2606:4700::1111",), (None,)], "ip string"
+    ).select(
+        iptypes.as_ipv4(ip.to_ipv4("ip"), "ip4"),
+        iptypes.as_ip_address(ip.to_address("ip"), "addr"),
+    )
+    tbl = iptypes.to_arrow_tagged(df)
+    path = tmp_path / "typed.arrow"
+    with pa.ipc.new_file(str(path), tbl.schema) as w:
+        w.write_table(tbl)
+    with pa.ipc.open_file(str(path)) as r:
+        back_tbl = r.read_all()
+    back = iptypes.from_arrow_tagged(spark, back_tbl)
+    assert iptypes.ip_columns(back) == {"ip4": "ipv4", "addr": "ip_address"}
+    vals = back.select(ip.to_string("addr").alias("result")).collect()
+    assert sorted(r.result for r in vals if r.result) == [
+        "2606:4700::1111", "8.8.8.8",
+    ]
+    nums = [r.ip4 for r in back.select("ip4").collect()]
+    assert sorted(n for n in nums if n is not None) == [134744072]
