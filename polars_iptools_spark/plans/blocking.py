@@ -27,20 +27,24 @@ from ..functions import iptools
 
 
 def record_id(*cols: str) -> Column:
-    """Deterministic 128-bit record identity as a fixed-width 32-char
-    hex string: two independently-seeded xxhash64 halves (the seed is a
-    prepended literal column, which perturbs the whole hash state).
+    """Deterministic 128-bit record identity as a 16-byte BINARY key:
+    two independently-seeded xxhash64 halves (the seed is a prepended
+    literal column, which perturbs the whole hash state).
 
     Why 128 bits: a single 64-bit key over a 10^12-record corpus gives
     ~(10^12)^2 / 2^65 ≈ 27k expected birthday collisions — silently
     merging distinct records into one rid and corrupting pairs, edges
     and clusters.  At 128 bits the expectation is (10^12)^2 / 2^129
     ≈ 1.5e-15 collisions — negligible at any realistic corpus size.
-    Fixed-width hex keeps the key orderable and join/groupBy-friendly.
+
+    Why binary, not hex text: BinaryType orders/joins/groups fine in
+    Spark and halves the key bytes through the pipeline's three big
+    shuffles (pairs, edges, closure supersteps).  ANSI mode forbids
+    CAST(BIGINT AS BINARY), so the bytes go through unhex(hex(...)).
     """
     h1 = F.lpad(F.hex(F.xxhash64(F.lit(1), *cols)), 16, "0")
     h2 = F.lpad(F.hex(F.xxhash64(F.lit(2), *cols)), 16, "0")
-    return F.concat(h1, h2)
+    return F.unhex(F.concat(h1, h2))
 
 
 def extract_indicators(corpus: DataFrame, ipv6: bool = False) -> DataFrame:

@@ -247,8 +247,20 @@ def hot_candidates(
         F.when(F.col(ip_cols[0]) == F.col(ip_cols[1]), F.lit(1.0))
         .otherwise(0.5 * levenshtein_sim(F.col(ip_cols[0]), F.col(ip_cols[1])))
     )
-    lev_path = levenshtein_sim(F.col(path_cols[0]), F.col(path_cols[1]))
-    base = pairs.withColumn("ip_sim", ip_sim).withColumn("lev_path", lev_path)
+    # STAGED bound: first kill pairs on the ip term alone (IP strings
+    # are <=15 chars, their Levenshtein is near-free), assuming perfect
+    # path+repo.  With the default weights any unequal-IP pair caps at
+    # w_ip*0.5 + w_path + w_repo = 0.70 < 0.72, so the expensive
+    # path-Levenshtein below never runs for cross-entity pairs — at
+    # 2.4M files this is most of the candidates-stage wall.
+    base = pairs.withColumn("ip_sim", ip_sim).where(
+        w_ip * F.col("ip_sim") + (w_path + w_repo) * F.lit(1.0) >= threshold
+    )
+    # survivors: path equality fast-path, then real Levenshtein
+    lev_path = F.when(
+        F.col(path_cols[0]) == F.col(path_cols[1]), F.lit(1.0)
+    ).otherwise(levenshtein_sim(F.col(path_cols[0]), F.col(path_cols[1])))
+    base = base.withColumn("lev_path", lev_path)
     upper = (
         w_ip * F.col("ip_sim")
         + w_path * (0.5 + 0.5 * F.col("lev_path"))
@@ -321,10 +333,25 @@ def score_pairs(
     # (Levenshtein, ip similarity) are MATERIALIZED as columns so they
     # are evaluated exactly once per row — referencing the expressions
     # again in the final score projection would silently recompute them.
-    # The JW UDF's inputs are null-gated: cold rows cross the Arrow
-    # boundary as nulls (near-free) and only hot rows pay for JW.
-    base = pairs.withColumn("_ip_sim", ip_sim).withColumn("_lev_path", lev_path)
-    upper = (
+    # Staged bounds: the ip-only bound (cheap — IP strings <=15 chars)
+    # kills most cross-entity pairs before the long-string path
+    # Levenshtein ever runs; for those rows the reported score is that
+    # (still sub-threshold) bound.  The JW UDF's inputs are null-gated:
+    # cold rows cross the Arrow boundary as nulls (near-free) and only
+    # hot rows pay for JW.
+    base = pairs.withColumn("_ip_sim", ip_sim)
+    ub_ip = w_ip * F.col("_ip_sim") + (w_path + w_repo) * F.lit(1.0)
+    ip_hot = ub_ip >= prune_threshold
+    lev_path_staged = F.when(
+        ip_hot,
+        F.when(
+            F.col(path_cols[0]) == F.col(path_cols[1]), F.lit(1.0)
+        ).otherwise(lev_path),
+    )
+    base = base.withColumn("_lev_path", lev_path_staged)
+    upper = F.when(
+        ~ip_hot, ub_ip
+    ).otherwise(
         w_ip * F.col("_ip_sim")
         + w_path * (0.5 + 0.5 * F.col("_lev_path"))
         + w_repo * F.lit(1.0)

@@ -25,6 +25,7 @@ Entity model (ground truth for pairwise F1):
 
 from __future__ import annotations
 
+import functools
 import hashlib
 from collections.abc import Iterator
 
@@ -63,10 +64,12 @@ def _defang(ip: str) -> str:
     return ip.replace(".", "[.]")
 
 
+@functools.lru_cache(maxsize=8)
 def _block_boundaries(n_entities: int, n_blocks: int) -> list[int]:
     """Zipf-weighted block capacities (block 0 largest) as cumulative
     entity-index boundaries — deterministic skew, known in advance, so
-    tests can assert the salting path actually triggers."""
+    tests can assert the salting path actually triggers.  Cached: this
+    is called once per generated ROW and is O(n_blocks) to build."""
     weights = [1.0 / (b + 1) for b in range(n_blocks)]
     total = sum(weights)
     bounds = []

@@ -134,3 +134,19 @@ def test_ip_prefix_v6_expands_compression(spark):
         assert got[c] == exp, (c, got[c], exp)
     # the two same-/48 addresses group together
     assert got["2606:4700::1111"] == got["2606:4700:0:1::1"] == got["2606:4700:0000:0002::5"]
+
+
+def test_minhash_hot_guard_has_no_collect_set(spark):
+    """The hot-shingle skew guard must keep hot shingles distributed:
+    no collect_set (single-row fold) anywhere in the physical plan."""
+    df = spark.createDataFrame(
+        [(i, f"common words everywhere plus unique{i} tail{i}") for i in range(30)],
+        "doc_id long, text string",
+    )
+    pairs = dedup.minhash_lsh_pairs(
+        df, "doc_id", "text", k=2, num_hashes=8, bands=4,
+        threshold=0.5, max_shingle_freq=5,
+    )
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "collect_set" not in plan.lower()
+    pairs.count()  # and the guarded plan still executes
