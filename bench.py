@@ -142,6 +142,42 @@ def main() -> None:
     )
     bench("ann_topk", lambda: force(similarity.brute_force_topk(emb, q, k=10)))
 
+    # banded multi-table embedding LSH (bucket UDF + guarded pair join)
+    dim = len(emb.select("embedding").first()[0])
+    bench(
+        "ann_lsh_banded",
+        lambda: force(
+            similarity.lsh_near_duplicates(
+                emb, dim=dim, threshold=0.3, n_tables=16, n_planes=6
+            )
+        ),
+    )
+
+    # vectorized Jaro-Winkler kernel: 600k path-shaped pairs (~350k
+    # unique after the batch factorize)
+    from polars_iptools_spark.plans.scoring import jaro_winkler_udf
+
+    r = F.col("rid")
+    jw_pairs = ips.select(
+        F.concat(
+            F.lit("src/module"), (r % 37).cast("string"),
+            F.lit("/handler"), (r % 97).cast("string"), F.lit(".py"),
+        ).alias("s_a"),
+        F.concat(
+            F.lit("src/module"), (r % 37).cast("string"),
+            F.lit("/handler"), ((r + 13) % 97).cast("string"), F.lit("_v2.py"),
+        ).alias("s_b"),
+    )
+    bench(
+        "scoring_jw_udf",
+        lambda: force(
+            jw_pairs.select(jaro_winkler_udf("s_a", "s_b").alias("jw")).where(
+                "jw >= 0"
+            )
+        ),
+    )
+    extras["jw_pairs_per_sec"] = round(n_ips / timings["scoring_jw_udf"])
+
     # end-to-end record-linkage pipeline on the synthetic corpus
     n_files = int(os.environ.get("SPARK_GRAFT_PIPELINE_FILES", "60000"))
     import tempfile

@@ -80,27 +80,43 @@ def _block_boundaries(n_entities: int, n_blocks: int) -> list[int]:
     return bounds
 
 
+# public first octets: 1..223 minus private/loopback/testnet prefixes
+_PUBLIC_O1 = [o for o in range(1, 224) if o not in (10, 127, 172, 192)]
+
+# Zipf-skewed /24 capacities inside each /16 slot: 254, 127, 63, ...,
+# 2 entities per /24, repeating — the measured-skew path must see both
+# packed and sparse blocking keys
+_C24 = [max(2, 254 >> (j % 8)) for j in range(256)]
+_CUM24 = []
+_acc = 0
+for _c in _C24:
+    _acc += _c
+    _CUM24.append(_acc)
+_SLOT_CAP = _CUM24[-1]  # entities per /16 slot (16,064)
+
+
 def _entity_fields(seed: int, e: int, n_entities: int, n_blocks: int) -> dict:
+    """Entity e's indicator IP is derived from its GLOBAL rank, not a
+    block hash: slot = e // _SLOT_CAP picks an injective (o1, o2) /16,
+    and the within-slot rank walks the skewed /24 capacities.  Two
+    distinct entities therefore can never mint the same IP (the earlier
+    block-hash scheme collided at ~4000 blocks, planting ~2% of pairs
+    as indistinguishable-by-construction label noise in the 2.4M-file
+    F1).  ``n_blocks`` still shapes the truth-block boundaries used by
+    tests; IP placement no longer depends on it."""
     import bisect
 
-    bounds = _block_boundaries(n_entities, n_blocks)
-    block = bisect.bisect_right(bounds, e)
-    start = bounds[block - 1] if block > 0 else 0
-    idx = e - start  # entity's index within its block
-    hb = _h(f"{seed}:block:{block}")
     he = _h(f"{seed}:entity:{e}")
-    # public /24 base: first octet in 1..223 avoiding private/loopback
-    o1 = hb[0] % 223 + 1
-    if o1 in (10, 127, 172, 192):
-        o1 = (o1 + 7) % 223 + 1
-    # unique-per-entity IP by construction: within-block index drives the
-    # last octet, spilling into sibling /24s past 254 entities
-    third = (hb[2] + idx // 254) % 256
-    last = idx % 254 + 1
+    slot = e // _SLOT_CAP
+    r = e % _SLOT_CAP
+    o1 = _PUBLIC_O1[slot % len(_PUBLIC_O1)]
+    o2 = (slot // len(_PUBLIC_O1)) % 256
+    third = bisect.bisect_right(_CUM24, r)
+    last = r - (_CUM24[third - 1] if third else 0) + 1
     lang = LANGS[he[8] % len(LANGS)]
     return {
         "entity": e,
-        "ip": f"{o1}.{hb[1]}.{third}.{last}",
+        "ip": f"{o1}.{o2}.{third}.{last}",
         "lang": lang,
         "repo": f"org{he[9] % 20}/repo{he[10] % 50}",
         "stem": f"src/module{he[11] % 30}/svc{e}",
