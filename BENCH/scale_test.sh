@@ -9,6 +9,7 @@ set -euo pipefail
 cd "$(dirname "$0")/.."
 
 FILES="${SPARK_GRAFT_SCALE_FILES:-600000}"
+TRUTH="${SPARK_GRAFT_SCALE_TRUTH:-1}"  # 0 skips the post-timing F1 eval (big sweeps)
 N="${SPARK_GRAFT_SCALE_N:-4}"
 N4=$((N * 4))
 WORK="$(mktemp -d /tmp/scale.XXXXXX)"
@@ -49,7 +50,7 @@ for CORES in "$N" "$N4"; do
       BENCH/run_scaling.py \
       --corpus "$WORK/corpus.parquet" \
       --ckpt "$WORK/ckpt_${CORES}_${REP}" \
-      --truth "$WORK/truth.parquet" \
+      $([ "$TRUTH" = "1" ] && echo --truth "$WORK/truth.parquet") \
       --out "$WORK/result_${CORES}_${REP}.json" 2>/dev/null
   done
 done

@@ -387,11 +387,19 @@ def is_in(expr: Column | str, networks: Iterable[str]) -> Column:
 
 
 def _refang(c: Column, v6: bool) -> Column:
-    """Un-defang ``192[.]168(.)1[.]1`` style text, JVM-side."""
-    c = F.regexp_replace(c, r"\[\.\]|\(\.\)", ".")
+    """Un-defang ``192[.]168(.)1[.]1`` style text, JVM-side.
+
+    The regexp_replace allocates a full copy of the text, so it is
+    gated behind cheap substring probes — most corpus content contains
+    no defang markers and skips the copy entirely."""
+    has_dot_defang = c.contains("[.]") | c.contains("(.)")
+    out = F.when(has_dot_defang, F.regexp_replace(c, r"\[\.\]|\(\.\)", ".")).otherwise(c)
     if v6:
-        c = F.regexp_replace(c, r"\[:\]|\(:\)", ":")
-    return c
+        has_colon_defang = c.contains("[:]") | c.contains("(:)")
+        out = F.when(
+            has_colon_defang, F.regexp_replace(out, r"\[:\]|\(:\)", ":")
+        ).otherwise(out)
+    return out
 
 
 def _v4_elem_filters(

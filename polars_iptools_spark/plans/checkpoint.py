@@ -45,17 +45,25 @@ class StageRunner:
         df = fn()
         df.write.mode("overwrite").parquet(str(data_path))
         out = self.spark.read.parquet(str(data_path))
-        per_part = (
-            out.groupBy(F.spark_partition_id().alias("partition"))
-            .agg(F.count(F.lit(1)).alias("rows"))
-            .collect()
-        )
-        rows = sum(r.rows for r in per_part)
+        # per-partition lineage from the committed parquet FOOTERS —
+        # driver-side metadata reads, zero executor jobs.  The previous
+        # groupBy(spark_partition_id) histogram re-scanned the full
+        # stage output; at 6 stages that serial extra pass was a
+        # visible slice of the high-parallelism wall.
+        partition_rows: dict[str, int] = {}
+        try:
+            import pyarrow.parquet as pq
+
+            for part in sorted(data_path.glob("part-*.parquet")):
+                partition_rows[part.name] = pq.ParquetFile(part).metadata.num_rows
+        except Exception:  # footer read is best-effort lineage
+            pass
+        rows = sum(partition_rows.values())
         m = {
             "stage": name,
             "rows": rows,
-            "partitions": len(per_part),
-            "partition_rows": {str(r.partition): r.rows for r in per_part},
+            "partitions": len(partition_rows),
+            "partition_rows": partition_rows,
             "wall_sec": round(time.monotonic() - t0, 3),
             "resumed": False,
         }
