@@ -294,9 +294,14 @@ def _compile_networks(
     return v4, v6
 
 
-# broadcast cache keyed by (SparkContext id, compiled interval tuple) so
+# broadcast cache keyed by (applicationId, compiled interval tuple) so
 # repeated is_in calls with the same set reuse ONE broadcast instead of
-# leaking a new one per call
+# leaking a new one per call.  applicationId (not id(sc)) because CPython
+# can reuse a freed object's id: a new context at the same address must
+# not be served a broadcast created on a stopped one.  Eviction only
+# drops our references — Spark's ContextCleaner reclaims the broadcast
+# once no live Column plan holds it; an explicit unpersist here could
+# yank a broadcast still referenced by a live is_in column.
 _BC_CACHE: dict = {}
 
 
@@ -309,15 +314,10 @@ def _broadcast_intervals(tables: tuple) -> object | None:
         return None
     try:
         sc = spark.sparkContext
-        key = (id(sc), tuple(a.tobytes() for a in tables))
+        key = (sc.applicationId, tuple(a.tobytes() for a in tables))
         bc = _BC_CACHE.get(key)
         if bc is None:
             if len(_BC_CACHE) > 8:
-                for old in _BC_CACHE.values():
-                    try:
-                        old.unpersist()
-                    except Exception:
-                        pass
                 _BC_CACHE.clear()
             bc = sc.broadcast(tables)
             _BC_CACHE[key] = bc
@@ -395,6 +395,11 @@ def _refang(c: Column, v6: bool) -> Column:
     has_dot_defang = c.contains("[.]") | c.contains("(.)")
     out = F.when(has_dot_defang, F.regexp_replace(c, r"\[\.\]|\(\.\)", ".")).otherwise(c)
     if v6:
+        # probing the ORIGINAL column is sound: the dot-refang only ever
+        # inserts '.', so a '[:]'/'(:)' marker in the refanged text means
+        # the three chars were already contiguous in the input (any
+        # replaced token between them would leave a '.' between them) —
+        # regression-tested in test_iptools.py::test_refang_no_minted_markers
         has_colon_defang = c.contains("[:]") | c.contains("(:)")
         out = F.when(
             has_colon_defang, F.regexp_replace(out, r"\[:\]|\(:\)", ":")

@@ -181,16 +181,20 @@ def ivf_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     seed: int = 13,
+    broadcast_probes: bool = True,
 ) -> DataFrame:
     """Approximate top-k: probe only the ``n_probe`` centroids nearest
     each query — the IVF scale path (scan cost drops to
     n_probe/n_centroids of brute force; recall governed by n_probe).
 
-    Probe assignment is computed DISTRIBUTED: the same numpy-matmul
+    Probe assignment is computed DISTRIBUTED (the same numpy-matmul
     pandas UDF as :func:`ivf_assign`, top-``n_probe`` per query via
-    posexplode — the query table is never collected to the driver, so
-    a query set of any size stays a broadcast-join input rather than a
-    driver loop."""
+    explode) — the query table is never collected to the driver.  The
+    probe->centroid join broadcasts the probe side by default, which
+    duplicates each query vector ``n_probe`` times: fine for the usual
+    query-batch sizes, but a probe table larger than the broadcast
+    limit must set ``broadcast_probes=False`` to get a shuffle join
+    (centroid is a fine-grained join key, so the shuffle is balanced)."""
     from pyspark.sql.types import ArrayType, IntegerType
 
     assigned, cents = ivf_assign(embeddings, n_centroids, id_col, vec_col, seed)
@@ -208,7 +212,9 @@ def ivf_topk(
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_qvec"),
         F.explode(_probes_udf(F.col(vec_col))).alias("centroid"),
     )
-    scored = assigned.join(F.broadcast(probes), "centroid").select(
+    if broadcast_probes:
+        probes = F.broadcast(probes)
+    scored = assigned.join(probes, "centroid").select(
         F.col(query_id_col),
         F.col(id_col),
         cosine(

@@ -5,25 +5,36 @@ corpus (repo, path, commit, lang, content)
     (JVM-side for IPv4)
   → 02 enrich + block on (asn, /24 or /48 prefix, lang) — broadcast
     interval trie (GeoLite2 ASN when configured, pseudo-ASN otherwise)
-  → 03 histogram-measured refinement of oversized (Zipf-hot) blocks
-  → 04 candidate self-join (rid_a < rid_b, AQE-exempt repartition) +
-    JVM-only score upper bound → hot candidates (the only committed
-    quadratic-derived artifact, near-edge-sized)
-  → 05 batched Jaro-Winkler + materialized Levenshtein exact scoring
-    over hot candidates only → threshold → edges
-  → 06 large-star/small-star transitive closure, localCheckpoint per
-    superstep → cluster table
+    — then histogram-measured refinement of oversized (Zipf-hot)
+    blocks, ONE committed stage (the blocked intermediate feeds the
+    histogram and the refinement join through a persist, not a second
+    parquet commit+read cycle)
+  → 03 candidate self-join (rid_a < rid_b, AQE-exempt repartition) +
+    JVM-only score upper bound → hot candidates → batched Jaro-Winkler
+    + materialized Levenshtein exact scoring, committed as ONE
+    near-edge-sized scored table (the quadratic pair stream itself is
+    NEVER materialized: at 10^12-file scale checkpointing the pair
+    blow-up would dominate all I/O; the Python scorer sees only the
+    ~2% of pairs whose JVM-computed upper bound can reach threshold)
+  → 04 threshold → edges (a pushed-down filter of the committed scored
+    table, no extra commit) → large-star/small-star transitive
+    closure, localCheckpoint per superstep → cluster table
 
-Every stage is committed through :class:`StageRunner` (parquet +
-per-partition lineage metrics), so a killed run resumes from the last
-committed stage.  Invoked either via the API or
-``spark-submit --py-files pipeline_job.zip`` (see BENCH/run_bench.py).
+Each of the four stages is committed through :class:`StageRunner`
+(parquet + per-partition lineage metrics), so a killed run resumes
+from the last committed stage.  Four commits, not six: every
+commit+read cycle is a serial pass whose fixed cost is what caps
+N-vs-4N scaling efficiency once the compute stages parallelize well —
+round-2 measured the six-cycle layout at 0.77 with the two compute
+stages at 0.89+.  Invoked either via the API or ``spark-submit
+--py-files pipeline_job.zip`` (see BENCH/run_bench.py).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from ..functions._par import ensure_parallelism
 from ..operators.closure import connected_components
@@ -45,54 +56,48 @@ def run_pipeline(
     """Returns dict with 'clusters' (rid, commit, cluster_id), 'edges',
     'metrics' (per-stage lineage)."""
     runner = StageRunner(spark, ckpt_dir)
+    _to_unpersist: list[DataFrame] = []
 
     indicators = runner.stage(
         "01_indicators",
         lambda: blocking.extract_indicators(ensure_parallelism(corpus), ipv6=ipv6),
     )
 
-    def _enrich():
+    def _refined():
         if mmdb_dir:
             from ..functions import geoip
 
-            return blocking.with_block_key(
+            blocked = blocking.with_block_key(
                 indicators,
                 asn_col=geoip.full("ip", db_dir=mmdb_dir)["asnnum"],
             )
-        return blocking.with_block_key(indicators)
-
-    blocked = runner.stage("02_blocked", _enrich)
-
-    refined = runner.stage(
-        "03_refined",
-        lambda: blocking.refine_oversized_blocks(
+        else:
+            blocked = blocking.with_block_key(indicators)
+        # blocked feeds BOTH the histogram and the refinement join —
+        # materialize it once in executor storage instead of a parquet
+        # commit+read cycle of its own
+        blocked = blocked.persist(StorageLevel.MEMORY_AND_DISK)
+        _to_unpersist.append(blocked)
+        return blocking.refine_oversized_blocks(
             blocked, blocking.block_histogram(blocked), max_block_records
-        ),
-    )
+        )
 
-    # The quadratic pair stream is NEVER materialized: at 10^12-file
-    # scale checkpointing the pair blow-up would dominate all I/O.
-    # Instead, pair generation + the JVM-only upper-bound filter fuse
-    # into ONE committed stage whose output is the near-edge-sized hot
-    # candidate set; the Python Jaro-Winkler then runs over only those
-    # rows (no Arrow traffic for the ~98% of pairs that can never match).
+    refined = runner.stage("02_refined", _refined)
+    for df in _to_unpersist:
+        df.unpersist()
+
     pairs = blocking.candidate_pairs(refined)
-    candidates = runner.stage(
-        "04_candidates",
-        lambda: scoring.hot_candidates(pairs, threshold=threshold).select(
-            "rid_a", "rid_b", "path_a", "path_b", "repo_a", "repo_b",
-            "block_key", "ip_sim", "lev_path",
-        ),
-    )
-    scored = scoring.exact_score_hot(candidates).select(
-        "rid_a", "rid_b", "score", "block_key"
+    scored = runner.stage(
+        "03_scored",
+        lambda: scoring.exact_score_hot(
+            scoring.hot_candidates(pairs, threshold=threshold)
+        ).select("rid_a", "rid_b", "score", "block_key"),
     )
 
-    edges = runner.stage(
-        "05_edges",
-        lambda: scored.where(F.col("score") >= threshold).select(
-            F.col("rid_a").alias("src"), F.col("rid_b").alias("dst")
-        ),
+    # edges: a column-pruned, predicate-pushed filter of the committed
+    # scored parquet — re-derivable for free, so not a commit of its own
+    edges = scored.where(F.col("score") >= threshold).select(
+        F.col("rid_a").alias("src"), F.col("rid_b").alias("dst")
     )
 
     def _clusters():
@@ -107,13 +112,12 @@ def run_pipeline(
             )
         )
 
-    clusters = runner.stage("06_clusters", _clusters)
+    clusters = runner.stage("04_clusters", _clusters)
 
     return {
         "indicators": indicators,
         "blocked": refined,
         "pairs": pairs,
-        "candidates": candidates,
         "scored": scored,
         "edges": edges,
         "clusters": clusters,

@@ -227,6 +227,24 @@ def test_extract_defanged(spark):
     ]
 
 
+def test_refang_no_minted_markers(spark):
+    """The dot-refang pass cannot mint a colon defang marker (it only
+    inserts '.', so '[:]'/'(:)' in the refanged text implies the marker
+    existed verbatim in the input) — the colon probe on the ORIGINAL
+    column is therefore sound.  Mixed-marker text exercising both
+    passes, including markers adjacent to each other."""
+    text = [
+        "v6 fe80[:]0[:]0[:]0[:]0[:]0[:]0[:]1 and 1[.]2[.]3[.]4",
+        "adjacent [[.]:] 2606:4700(:)(:)1111 tail",
+        "2001[:]db8[:][:]2[:]1 mixed 8(.)8(.)8(.)8",
+    ]
+    assert run(spark, text, "text", ip.extract_ips("text", ipv6=True)) == [
+        ["fe80::1", "1.2.3.4"],
+        ["2606:4700::1111"],
+        ["2001:db8::2:1", "8.8.8.8"],
+    ]
+
+
 def test_extract_null_text(spark):
     assert run(spark, [None], "text", ip.extract_ips("text")) == [None]
     assert run(spark, [None], "text", ip.extract_ips("text", ipv6=True)) == [None]

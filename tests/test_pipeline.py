@@ -88,7 +88,7 @@ def test_partial_resume_recomputes_missing(spark, corpus_truth, tmp_path):
 
     res = run_pipeline(spark, corpus, ckpt)
     assert res["metrics"]["01_indicators"]["resumed"] is True
-    assert res["metrics"]["06_clusters"]["resumed"] is False
+    assert res["metrics"]["04_clusters"]["resumed"] is False
     m = pairwise_f1(res["clusters"], truth, res["blocked"])
     assert m["f1"] >= 0.99
 
