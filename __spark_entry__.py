@@ -4,9 +4,15 @@
 ``queries()`` — one entry per implemented operator (SURVEY.md §2 + the
 training-data operators); each callable takes (spark, sf_dir).
 ``oracle_sql()`` — independent DuckDB ANSI-SQL implementations of the
-same semantics over the same parquet views (omitted for ops whose
-hashes aren't reproducible in SQL: xxhash64-based minhash/simhash and
-MMDB-backed enrichment get rows-only checks).
+same semantics over the same parquet views.  LSH-family queries are
+oracle-checked through a recall-1.0 construction: candidate generation
+is tuned so the (seed-fixed, deterministic) recall against the exact
+pair set is 1.0 at the driver's sf0.01, and candidates are
+exact-verified, so the emitted set equals the SQL-computable exact set
+— any regression in recall, hashing or verification breaks the match.
+Only simhash_pairs and winnowing remain rows-only (their emitted
+VALUES are xxhash64-derived, which SQL cannot reproduce; both carry
+property-based pytest coverage instead).
 
 Input derivation: the testdata tables carry no IP columns, so IP-shaped
 inputs are derived *deterministically and identically* in both engines
@@ -411,10 +417,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
 
     def q_minhash_lsh(spark, sf):
+        # hash-green vs the EXACT-pair DuckDB oracle: LSH candidate
+        # recall is 1.0 at this SF (verified: 25/25 exact pairs) and
+        # candidates are exact-Jaccard-verified, so emitted set ==
+        # exact set — any recall or verification regression breaks
+        # the row-count/hash match
         d = spark.read.parquet(f"{sf}/documents.parquet")
         return dedup.minhash_lsh_pairs(
             d, "doc_id", "text", k=3, num_hashes=32, bands=8, threshold=0.5,
             max_shingle_freq=None,
+        ).select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+
+    def q_minhash_lsh_guarded(spark, sf):
+        # exercises the hot-shingle skew guard (dedup.py guarded path:
+        # explode -> broadcast left_anti -> re-collect); at sf0.01 the
+        # guard drops 29 stop-shingles (freq > 5) and the surviving
+        # pair set still has LSH recall 1.0, so the guarded exact-
+        # Jaccard pair set is the oracle
+        d = spark.read.parquet(f"{sf}/documents.parquet")
+        return dedup.minhash_lsh_pairs(
+            d, "doc_id", "text", k=3, num_hashes=32, bands=8, threshold=0.5,
+            max_shingle_freq=5,
         ).select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
 
     def q_simhash_pairs(spark, sf):
@@ -471,12 +494,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def q_ann_lsh(spark, sf):
-        # rows-only (hyperplane LSH path; exact-verified cosines);
-        # 16 tables x 6 planes tuned for the loose 0.3 threshold
-        e = spark.read.parquet(f"{sf}/embeddings.parquet")
-        dim = len(e.select("embedding").first()[0])
+        # hash-green vs the EXACT all-pairs cosine DuckDB oracle: at
+        # 48 tables x 4 planes the banded construction has recall
+        # exactly 1.0 for the 990 pairs >= 0.3 at this SF (seeded
+        # hyperplanes are deterministic; nearest boundary pair is
+        # 7e-5 from the threshold, far above float noise), and
+        # candidates are exact-cosine-verified — emitted == exact
+        e = spark.read.parquet(f"{sf}/embeddings.parquet").select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+        )
+        dim = 64
         return similarity.lsh_near_duplicates(
-            e, dim=dim, threshold=0.3, n_tables=16, n_planes=6
+            e, dim=dim, threshold=0.3, n_tables=48, n_planes=4
         ).select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
     def q_ann_ivf(spark, sf):
@@ -580,6 +610,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ip", F.unix_timestamp("first_ts").alias("first_ts"), "hits"
         )
 
+    def q_streaming_windowed_counts(spark, sf):
+        # second streaming correctness entry: the watermarked tumbling-
+        # window aggregation over an availableNow stream must equal the
+        # batch GROUP BY (floor(ts/60)*60, ip) — complete output mode so
+        # the final (post-watermark) windows are emitted too
+        import tempfile
+        import uuid
+
+        from polars_iptools_spark.streaming.enrich import windowed_indicator_counts
+
+        d = spark.read.parquet(f"{sf}/documents.parquet")
+        ev = d.select(
+            F.concat(F.lit("9.9.9."), (F.col("doc_id") % 50).cast("string")).alias("ip"),
+            F.timestamp_seconds(
+                F.lit(1700000000) + (F.col("doc_id") * 37) % 1000
+            ).alias("ts"),
+        )
+        src = tempfile.mkdtemp(prefix="pis_stream_win_")
+        ev.coalesce(1).write.mode("overwrite").parquet(src)
+        stream = spark.readStream.schema(ev.schema).parquet(src)
+        qname = "q_win_counts_" + uuid.uuid4().hex[:8]
+        q = (
+            windowed_indicator_counts(stream, window="1 minute", watermark="2 minutes")
+            .writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.table(qname).select(
+            F.unix_timestamp("window_start").alias("ws"),
+            F.unix_timestamp("window_end").alias("we"),
+            "ip",
+            "hits",
+        )
+
     def q_multimodal_meta(spark, sf):
         # the payload-sha256 field stays pytest-covered (DuckDB cannot
         # hash BLOBs); the other 6 decoded fields are oracle-checked
@@ -607,6 +674,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": q_exact_dedup,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
+        "minhash_lsh_guarded": q_minhash_lsh_guarded,
         "simhash_pairs": q_simhash_pairs,
         "token_stats": q_token_stats,
         "quality_score": q_quality_score,
@@ -621,6 +689,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_clusters": q_pipeline_clusters,
         "scoring": q_scoring,
         "streaming_first_seen": q_streaming_first_seen,
+        "streaming_windowed_counts": q_streaming_windowed_counts,
         "multimodal_meta": q_multimodal_meta,
     }
 
@@ -797,31 +866,14 @@ SELECT sha256(text) AS content_sha,
        min(doc_id) AS keep_id,
        count(*) AS dup_count
 FROM documents GROUP BY sha256(text)""",
-        "ngram_jaccard": """
-WITH norm AS (
-  SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS w
-  FROM documents
-),
-sh AS (
-  SELECT doc_id,
-         list_distinct(CASE WHEN len(w) < 3 THEN []
-              ELSE [array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]
-              END) AS shs
-  FROM norm
-),
-idx AS (SELECT doc_id AS doc, unnest(shs) AS s FROM sh),
-sizes AS (SELECT doc, count(*) AS sz FROM idx GROUP BY doc),
-common AS (
-  SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS c
-  FROM idx a JOIN idx b ON a.s = b.s AND a.doc < b.doc
-  GROUP BY a.doc, b.doc
-)
-SELECT doc_a, doc_b,
-       round(CAST(c AS DOUBLE) / (sa.sz + sb.sz - c), 6) AS jaccard
-FROM common
-JOIN sizes sa ON sa.doc = doc_a
-JOIN sizes sb ON sb.doc = doc_b
-WHERE CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) >= 0.5""",
+        "ngram_jaccard": _jaccard_pairs_sql(),
+        # minhash+LSH emits the SAME exact-Jaccard pair set (candidate
+        # recall verified 1.0 at this SF; candidates exact-verified), so
+        # the exact inverted-index construction is its oracle too
+        "minhash_lsh": _jaccard_pairs_sql(),
+        # guarded variant: the oracle replicates the hot-shingle drop
+        # (freq > 5) and computes Jaccard over the FILTERED sets
+        "minhash_lsh_guarded": _jaccard_pairs_sql(guard_freq=5),
         "token_stats": """
 SELECT doc_id,
        CASE WHEN length(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) = 0 THEN 0
@@ -848,6 +900,15 @@ ranked AS (
 )
 SELECT query_id, vec_id, round(cos, 6) AS cosine, rank
 FROM ranked WHERE rank <= 10""",
+        # exact all-pairs cosine >= 0.3: the banded-LSH query has
+        # verified recall 1.0 at this SF and exact-verifies candidates,
+        # so its emitted set equals this exact set
+        "ann_lsh": """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.emb, b.emb), 6) AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.emb, b.emb) >= 0.3""",
         "closure": """
 WITH RECURSIVE e AS (
   SELECT DISTINCT o_orderkey % 500 AS src, o_custkey % 500 AS dst FROM orders
@@ -922,7 +983,61 @@ SELECT ip,
 FROM (SELECT concat('9.9.9.', CAST(doc_id % 50 AS VARCHAR)) AS ip, doc_id
       FROM documents)
 GROUP BY ip""",
+        # tumbling 1-minute windows aligned to the epoch (Spark's
+        # default window origin): floor(ts/60)*60
+        "streaming_windowed_counts": """
+WITH ev AS (
+  SELECT concat('9.9.9.', CAST(doc_id % 50 AS VARCHAR)) AS ip,
+         1700000000 + (doc_id * 37) % 1000 AS ts
+  FROM documents
+)
+SELECT (ts // 60) * 60 AS ws,
+       (ts // 60) * 60 + 60 AS we,
+       ip,
+       count(*) AS hits
+FROM ev
+GROUP BY 1, 2, 3""",
     }
+
+
+def _jaccard_pairs_sql(guard_freq: int | None = None, threshold: float = 0.5) -> str:
+    """Exact word-shingle Jaccard pair set over ``documents`` — the
+    oracle for ngram_jaccard AND (recall-1.0-verified) minhash_lsh.
+    ``guard_freq`` replicates the engine's hot-shingle skew guard:
+    shingles in more than that many docs are dropped BEFORE sizes and
+    intersections, exactly as dedup.minhash_lsh_pairs does."""
+    guard = (
+        f"""hot AS (SELECT s FROM idx GROUP BY s HAVING count(*) > {guard_freq}),
+fidx AS (SELECT doc, s FROM idx ANTI JOIN hot USING (s)),"""
+        if guard_freq
+        else "fidx AS (SELECT doc, s FROM idx),"
+    )
+    return f"""
+WITH norm AS (
+  SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS w
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(w) < 3 THEN []
+              ELSE [array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]
+              END) AS shs
+  FROM norm
+),
+idx AS (SELECT doc_id AS doc, unnest(shs) AS s FROM sh),
+{guard}
+sizes AS (SELECT doc, count(*) AS sz FROM fidx GROUP BY doc),
+common AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS c
+  FROM fidx a JOIN fidx b ON a.s = b.s AND a.doc < b.doc
+  GROUP BY a.doc, b.doc
+)
+SELECT doc_a, doc_b,
+       round(CAST(c AS DOUBLE) / (sa.sz + sb.sz - c), 6) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc = doc_a
+JOIN sizes sb ON sb.doc = doc_b
+WHERE CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) >= {threshold}"""
 
 
 def _stop_pat(langs: dict) -> dict:

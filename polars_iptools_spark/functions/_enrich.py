@@ -56,11 +56,36 @@ class FlatTable:
         self.n_records = n
         self.columns: dict[str, np.ndarray] = {}
         for name, extract, default in fields:
-            col = np.empty(n + 1, dtype=object)
+            # pure-int fields store as int64 so batch gathers stay
+            # C-typed (object arrays force a per-row unbox downstream);
+            # floats/strings/lists keep object storage because null-in
+            # rows are later assigned None (float64 would turn them into
+            # NaN, which Arrow serializes differently from null)
+            dtype = (
+                np.int64
+                if isinstance(default, int) and not isinstance(default, bool)
+                else object
+            )
+            col = np.empty(n + 1, dtype=dtype)
             for i, rec in enumerate(table.records):
                 col[i] = extract(rec)
             col[n] = default
             self.columns[name] = col
+
+    def lookup_s16(self, kb: np.ndarray, valid: np.ndarray) -> np.ndarray:
+        """``|S16`` key array + valid mask (from pack_ip_series_s16) ->
+        record row indices; fully vectorized, no per-row objects."""
+        rows = np.full(len(kb), self.n_records, dtype=np.int64)
+        if valid.any() and len(self.lo):
+            vk = kb[valid]
+            pos = np.searchsorted(self.lo, vk, side="right") - 1
+            ok = pos >= 0
+            hit = np.zeros(len(vk), dtype=bool)
+            hit[ok] = vk[ok] <= self.hi[pos[ok]]
+            found = np.full(len(vk), self.n_records, dtype=np.int64)
+            found[hit] = self.rec_idx[pos[hit]]
+            rows[valid] = found
+        return rows
 
     def lookup(self, keys_obj: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         """Object array of 16-byte keys (None = invalid/null input) ->
@@ -120,6 +145,18 @@ class BroadcastedDB:
             except Exception:
                 self._bc = None
         return self._bc, tables
+
+
+def series_to_keys_s16(s: pd.Series) -> tuple[np.ndarray, np.ndarray] | None:
+    """``|S16`` fast path for STRING (or all-null) batches: returns
+    (key array, valid mask) with zero per-row Python on the IPv4 hot
+    path.  Returns None for binary / numeric typed-column inputs —
+    those take the object-key path in :func:`series_to_keys`."""
+    vals = s.to_numpy()
+    first = next((v for v in vals if v is not None), None)
+    if first is None or isinstance(first, str):
+        return _ipparse.pack_ip_series_s16(s)
+    return None
 
 
 def series_to_keys(s: pd.Series) -> np.ndarray:

@@ -88,6 +88,47 @@ def pack_ip_series(s: pd.Series) -> np.ndarray:
     return out
 
 
+def pack_ip_series_s16(s: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+    """Series of IP strings -> (``|S16`` key array, valid mask) with NO
+    per-row Python objects on the IPv4 fast path — the bytes land
+    directly in the (n, 16) matrix the searchsorted kernel consumes.
+    Only non-IPv4 non-null rows (rare in enrichment feeds) fall back to
+    per-element stdlib parsing.  Invalid/null rows: valid=False, key
+    bytes zero."""
+    s = s.astype(object)
+    n = len(s)
+    kb = np.zeros((n, 16), dtype=np.uint8)
+    valid = np.zeros(n, dtype=bool)
+    if n == 0:
+        return kb.view("|S16").reshape(n), valid
+    notnull = s.notna().to_numpy()
+    str_s = s.where(s.notna(), "")
+    octs = str_s.astype(str).str.extract(V4_FULLMATCH, expand=True)
+    v4mask = notnull & octs[0].notna().to_numpy()
+    if v4mask.any():
+        o = octs.loc[v4mask].astype(np.uint32).to_numpy()
+        nums = (o[:, 0] << 24) | (o[:, 1] << 16) | (o[:, 2] << 8) | o[:, 3]
+        idx = np.flatnonzero(v4mask)
+        kb[idx, 10] = 0xFF
+        kb[idx, 11] = 0xFF
+        kb[idx, 12:16] = nums.astype(">u4").view(np.uint8).reshape(-1, 4)
+        valid[idx] = True
+    rest = np.flatnonzero(notnull & ~v4mask)
+    arr = s.to_numpy()
+    for i in rest:
+        v = arr[i]
+        if not isinstance(v, str) or ":" not in v:
+            continue
+        try:
+            kb[i] = np.frombuffer(
+                int128_to_bytes(ip_to_int128(v)), dtype=np.uint8
+            )
+            valid[i] = True
+        except ValueError:
+            pass
+    return kb.view("|S16").reshape(n), valid
+
+
 def pack_ip_series_with_family(s: pd.Series) -> tuple[np.ndarray, np.ndarray]:
     """Like :func:`pack_ip_series` but also reports the TEXTUAL address
     family per row (0 = null/invalid, 4 = dotted-quad literal, 6 =

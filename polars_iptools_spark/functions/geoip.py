@@ -46,8 +46,13 @@ def asn(expr: Column | str, reload_mmdb: bool = False, db_dir: str | None = None
     @F.pandas_udf(StringType())
     def _asn_udf(s: pd.Series) -> pd.Series:
         t = (bc.value if bc is not None else tables)["asn"]
-        keys = _enrich.series_to_keys(s)
-        rows, mask = t.lookup(keys)
+        fast = _enrich.series_to_keys_s16(s)
+        if fast is not None:  # string batches: zero per-row Python
+            kb, mask = fast
+            rows = t.lookup_s16(kb, mask)
+        else:
+            keys = _enrich.series_to_keys(s)
+            rows, mask = t.lookup(keys)
         # strings pre-formatted once per record at table build; the
         # batch path is a single vectorized gather
         out = t.columns["asn_str"][rows].copy()
@@ -68,14 +73,19 @@ def full(expr: Column | str, reload_mmdb: bool = False, db_dir: str | None = Non
     def _full_udf(s: pd.Series) -> pd.DataFrame:
         tabs = bc.value if bc is not None else tables
         ta, tc = tabs["asn"], tabs["city"]
-        keys = _enrich.series_to_keys(s)
-        rows_a, mask = ta.lookup(keys)
-        rows_c, _ = tc.lookup(keys)
-        n = len(s)
+        fast = _enrich.series_to_keys_s16(s)
+        if fast is not None:  # string batches: zero per-row Python
+            kb, mask = fast
+            rows_a = ta.lookup_s16(kb, mask)
+            rows_c = tc.lookup_s16(kb, mask)
+        else:
+            keys = _enrich.series_to_keys(s)
+            rows_a, mask = ta.lookup(keys)
+            rows_c, _ = tc.lookup(keys)
         data = {}
-        data["asnnum"] = pd.array(
-            [int(v) for v in ta.columns["asnnum"][rows_a]], dtype="Int64"
-        )
+        # asnnum is stored int64 in the flat table — typed gather, no
+        # per-row unboxing
+        data["asnnum"] = pd.array(ta.columns["asnnum"][rows_a], dtype="Int64")
         data["asnorg"] = ta.columns["asnorg"][rows_a]
         for name in (
             "city",

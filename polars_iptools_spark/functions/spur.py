@@ -29,8 +29,13 @@ def full(expr: Column | str, reload_mmdb: bool = False, db_dir: str | None = Non
     @F.pandas_udf(SPUR_SCHEMA)
     def _spur_udf(s: pd.Series) -> pd.DataFrame:
         t = (bc.value if bc is not None else tables)["spur"]
-        keys = _enrich.series_to_keys(s)
-        rows, mask = t.lookup(keys)
+        fast = _enrich.series_to_keys_s16(s)
+        if fast is not None:  # string batches: zero per-row Python
+            kb, mask = fast
+            rows = t.lookup_s16(kb, mask)
+        else:
+            keys = _enrich.series_to_keys(s)
+            rows, mask = t.lookup(keys)
         data = {name: col[rows] for name, col in t.columns.items()}
         data["client_count"] = pd.array(
             [float(v) for v in data["client_count"]], dtype="Float32"

@@ -149,4 +149,9 @@ def test_minhash_hot_guard_has_no_collect_set(spark):
     )
     plan = pairs._jdf.queryExecution().executedPlan().toString()
     assert "collect_set" not in plan.lower()
+    # the guard must also never degrade to a cartesian product — the
+    # round-1 scale-killer folded hot shingles into one driver row and
+    # crossJoined it against the corpus
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
     pairs.count()  # and the guarded plan still executes

@@ -1,0 +1,107 @@
+"""SQL-text front-end parity — the Spark analog of the reference's
+eager/lazy dual-run contract (/root/reference/tests/test_iptools.py:8-27
+parametrizes every golden fixture over both front-ends).  Each scalar
+op here runs through the DataFrame API and through ``spark.sql`` TEXT
+(rendered expression for pure-Catalyst ops, registered ``pis_*``
+functions for Arrow-UDF-backed ops) and the results must agree."""
+
+import pytest
+from pyspark.sql import functions as F
+
+import polars_iptools_spark as ip
+
+IPS = [
+    "8.8.8.8", "1.1.1.1", "999.9.9.9", "2606:4700::1111", None, "::1",
+    "abcd", "", "10.1.2.3", "172.16.0.1", "192.168.255.255", "08.8.8.8",
+    "255.255.255.255", "::ffff:1.2.3.4", "fe80::1", "0.0.0.0",
+]
+
+TEXTS = [
+    "conn 8.8.8.8 and 10[.]0[.]0[.]7 end",
+    "v6 [2001:DB8::2:1]:443 plus fe80[:][:]1 and 1.2.3.4:80",
+    "nothing here",
+    None,
+    "dup 9.9.9.9 9.9.9.9 255.255.255.255 127.0.0.1",
+]
+
+NETWORKS = ["8.8.8.0/24", "10.0.0.0/8", "172.16.0.0/12"]
+
+NATIVE_CASES = {
+    "is_valid": lambda: ip.is_valid("ip"),
+    "is_private": lambda: ip.is_private("ip"),
+    "ipv4_to_numeric": lambda: ip.ipv4_to_numeric("ip"),
+    "numeric_to_ipv4_roundtrip": lambda: ip.numeric_to_ipv4(
+        ip.ipv4_to_numeric("ip")
+    ),
+    "to_ipv4": lambda: ip.to_ipv4("ip"),
+    "is_in_native_v4_path": lambda: ip.is_in("ip", NETWORKS),
+}
+
+
+@pytest.fixture(scope="module")
+def ip_view(spark):
+    df = spark.createDataFrame([(i, x) for i, x in enumerate(IPS)], "rid long, ip string")
+    df.createOrReplaceTempView("sqlmode_ips")
+    return df
+
+
+@pytest.fixture(scope="module")
+def text_view(spark):
+    df = spark.createDataFrame(
+        [(i, x) for i, x in enumerate(TEXTS)], "rid long, text string"
+    )
+    df.createOrReplaceTempView("sqlmode_texts")
+    return df
+
+
+@pytest.mark.parametrize("name", sorted(NATIVE_CASES))
+def test_native_op_sql_text_parity(spark, ip_view, name):
+    """Pure-Catalyst ops: the DSL-built expression rendered to SQL text
+    and re-parsed by spark.sql must produce identical results."""
+    col = NATIVE_CASES[name]()
+    api = ip_view.select("rid", col.alias("out")).collect()
+    txt = ip.column_sql(col)
+    via_sql = spark.sql(f"SELECT rid, {txt} AS out FROM sqlmode_ips").collect()
+    assert api == via_sql
+
+
+def test_native_extract_sql_text_parity(spark, text_view):
+    for col in (ip.extract_ips("text"), ip.extract_public_ips("text")):
+        api = text_view.select("rid", col.alias("out")).collect()
+        txt = ip.column_sql(col)
+        via_sql = spark.sql(f"SELECT rid, {txt} AS out FROM sqlmode_texts").collect()
+        assert api == via_sql
+
+
+def test_registered_udf_roundtrip_parity(spark, ip_view):
+    """Arrow-UDF-backed typed round-trip through registered pis_*
+    functions equals the DataFrame API composition."""
+    names = ip.register_sql_functions(spark)
+    assert "pis_to_address" in names and "pis_to_string" in names
+    api = ip_view.select(
+        "rid", ip.to_string(ip.to_address("ip")).alias("canonical")
+    ).collect()
+    via_sql = spark.sql(
+        "SELECT rid, pis_to_string(pis_to_address(ip)) AS canonical FROM sqlmode_ips"
+    ).collect()
+    assert api == via_sql
+
+
+def test_registered_udf_extract_v6_parity(spark, text_view):
+    ip.register_sql_functions(spark)
+    api = text_view.select(
+        "rid",
+        ip.extract_ips("text", ipv6=True).alias("a"),
+        ip.extract_public_ips("text", ipv6=True).alias("p"),
+    ).collect()
+    via_sql = spark.sql(
+        "SELECT rid, pis_extract_ips_v6(text) AS a,"
+        "       pis_extract_public_ips_v6(text) AS p FROM sqlmode_texts"
+    ).collect()
+    assert api == via_sql
+
+
+def test_column_sql_is_plain_text(spark):
+    """The rendered form is genuine SQL text (no JVM object repr)."""
+    txt = ip.column_sql(ip.is_valid("ip"))
+    assert isinstance(txt, str) and "RLIKE" in txt.upper()
