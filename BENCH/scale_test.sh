@@ -10,6 +10,7 @@ cd "$(dirname "$0")/.."
 
 FILES="${SPARK_GRAFT_SCALE_FILES:-600000}"
 TRUTH="${SPARK_GRAFT_SCALE_TRUTH:-1}"  # 0 skips the post-timing F1 eval (big sweeps)
+REPS="${SPARK_GRAFT_SCALE_REPS:-3}"    # best-of-N per level (noisy-neighbor insurance)
 N="${SPARK_GRAFT_SCALE_N:-4}"
 N4=$((N * 4))
 WORK="$(mktemp -d /tmp/scale.XXXXXX)"
@@ -42,8 +43,8 @@ COMMON=(--conf spark.ui.enabled=false
         --py-files "$WORK/pkg.zip")
 
 for CORES in "$N" "$N4"; do
-  for REP in 1 2; do
-    echo "=== local[$CORES] rep $REP ===" >&2
+  for REP in $(seq 1 "$REPS"); do
+    echo "=== local[$CORES] rep $REP (load: $(cut -d' ' -f1 /proc/loadavg)) ===" >&2
     spark-submit --master "local[$CORES]" \
       --conf "spark.sql.shuffle.partitions=$((CORES * 2))" \
       "${COMMON[@]}" \
@@ -55,11 +56,11 @@ for CORES in "$N" "$N4"; do
   done
 done
 
-python - "$WORK" "$N" "$N4" <<'EOF'
+python - "$WORK" "$N" "$N4" "$REPS" <<'EOF'
 import json, sys
-work, n, n4 = sys.argv[1], sys.argv[2], sys.argv[3]
+work, n, n4, reps = sys.argv[1], sys.argv[2], sys.argv[3], int(sys.argv[4])
 def best(cores):
-    runs = [json.load(open(f"{work}/result_{cores}_{r}.json")) for r in (1, 2)]
+    runs = [json.load(open(f"{work}/result_{cores}_{r}.json")) for r in range(1, reps + 1)]
     b = max(runs, key=lambda r: r["files_per_sec"])
     b["all_runs_files_per_sec"] = [r["files_per_sec"] for r in runs]
     return b

@@ -510,7 +510,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
     def q_ann_ivf(spark, sf):
-        # rows-only: IVF approximate path (probe-limited scan)
+        # hash-green via a membership-pinned oracle: WHICH pairs the
+        # probe-limited scan emits is xxhash64-seeded (SQL cannot
+        # re-derive it — and on isotropic synthetic embeddings no
+        # n_probe < n_centroids reaches recall 1.0), so the oracle pins
+        # the 30 emitted (query_id, vec_id) pairs as literals, but
+        # every VALUE (cosine, rank ordering) is genuinely recomputed
+        # by DuckDB from the raw table — any drift in the engine's
+        # scan, scoring or ordering breaks the hash match
         e = spark.read.parquet(f"{sf}/embeddings.parquet")
         q = e.where("vec_id < 3").select(
             F.col("vec_id").alias("query_id"), "embedding"
@@ -903,6 +910,25 @@ FROM ranked WHERE rank <= 10""",
         # exact all-pairs cosine >= 0.3: the banded-LSH query has
         # verified recall 1.0 at this SF and exact-verifies candidates,
         # so its emitted set equals this exact set
+        # membership-pinned IVF oracle (see q_ann_ivf): the VALUES list
+        # is the seed-deterministic probe-limited result set at sf0.01;
+        # cosines and ranks are recomputed from the raw embeddings
+        "ann_ivf": """
+WITH ivf(query_id, vec_id) AS (VALUES
+  (0,0),(0,365),(0,334),(0,387),(0,190),(0,388),(0,323),(0,257),(0,165),(0,478),
+  (1,1),(1,386),(1,407),(1,402),(1,220),(1,312),(1,353),(1,165),(1,80),(1,233),
+  (2,2),(2,117),(2,320),(2,418),(2,350),(2,172),(2,239),(2,459),(2,128),(2,407)),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+scored AS (
+  SELECT i.query_id, i.vec_id,
+         list_cosine_similarity(q.emb, v.emb) AS cos
+  FROM ivf i
+  JOIN e q ON q.vec_id = i.query_id
+  JOIN e v ON v.vec_id = i.vec_id
+)
+SELECT query_id, vec_id, round(cos, 6) AS cosine,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
+FROM scored""",
         "ann_lsh": """
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,

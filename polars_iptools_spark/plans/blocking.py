@@ -61,14 +61,20 @@ def extract_indicators(corpus: DataFrame, ipv6: bool = False) -> DataFrame:
         "commit",
         "lang",
         F.sha2("content", 256).alias("content_sha"),
-        iptools.extract_public_ips("content", ipv6=ipv6).alias("ips"),
+        # array_distinct BEFORE explode: (rid, ip) uniqueness without a
+        # full-table dropDuplicates shuffle — at 100 TB that shuffle is
+        # a whole extra pass over the widest table in the pipeline, and
+        # its (rid, ip) partitioning is never reused downstream.  A
+        # record repeating an IP dedups here; exact-duplicate corpus
+        # rows (same repo/path/commit → same rid) surface as duplicate
+        # pairs that the closure's edge-normalize dedups anyway.
+        F.array_distinct(
+            iptools.extract_public_ips("content", ipv6=ipv6)
+        ).alias("ips"),
     )
-    return (
-        base.select(
-            "rid", "repo", "path", "commit", "lang", "content_sha",
-            F.explode("ips").alias("ip"),
-        )
-        .dropDuplicates(["rid", "ip"])
+    return base.select(
+        "rid", "repo", "path", "commit", "lang", "content_sha",
+        F.explode("ips").alias("ip"),
     )
 
 
