@@ -45,6 +45,14 @@ def main() -> None:
     corpus = read_corpus(spark, args.corpus)
     n_files = corpus.count()  # warms the scan; excluded from timing
 
+    def _load():  # noisy-neighbor transparency: 1-min load at run edges
+        try:
+            with open("/proc/loadavg") as f:
+                return float(f.read().split()[0])
+        except OSError:
+            return None
+
+    load_start = _load()
     t0 = time.monotonic()
     res = run_pipeline(spark, corpus, args.ckpt, threshold=args.threshold)
     n_clusters = res["clusters"].agg(F.countDistinct("cluster_id")).collect()[0][0]
@@ -65,6 +73,8 @@ def main() -> None:
         "wall_sec": round(wall, 3),
         "files_per_sec": round(n_files / wall, 2),
         "stage_wall": {k: v["wall_sec"] for k, v in res["metrics"].items()},
+        "loadavg_start": load_start,
+        "loadavg_end": _load(),
     }
     Path(args.out).write_text(json.dumps(out, indent=1))
     print(json.dumps(out))

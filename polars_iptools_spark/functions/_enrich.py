@@ -74,7 +74,16 @@ class FlatTable:
 
     def lookup_s16(self, kb: np.ndarray, valid: np.ndarray) -> np.ndarray:
         """``|S16`` key array + valid mask (from pack_ip_series_s16) ->
-        record row indices; fully vectorized, no per-row objects."""
+        record row indices; fully vectorized, no per-row objects.
+
+        numpy ``|S16`` strips trailing NUL bytes, so a key like
+        ``...ffff 0a000000`` compares as its 12-byte prefix — that is
+        SAFE here: with NUL the minimal byte, lexicographic order over
+        NUL-stripped strings is identical to order over the full
+        16-byte forms (a prefix sorts exactly where its zero-padded
+        form would), and ``self.lo``/``self.hi`` are |S16 too, so both
+        sides of every searchsorted comparison use the same convention.
+        """
         rows = np.full(len(kb), self.n_records, dtype=np.int64)
         if valid.any() and len(self.lo):
             vk = kb[valid]

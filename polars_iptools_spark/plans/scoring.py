@@ -79,7 +79,12 @@ def jaro_winkler(
 
 def _pad_codepoints(strs: list[str]) -> tuple[np.ndarray, np.ndarray]:
     """List of strings -> (N, Lmax) uint32 codepoint matrix (0-padded)
-    + length vector, built with one UTF-32 decode and one scatter."""
+    + length vector, built with one UTF-32 decode and one scatter.
+
+    Codepoints are stored shifted +1 so the 0 padding sentinel can
+    never collide with a real character: a literal NUL ('\\x00') in the
+    data must compare as a character, not as end-of-string (only
+    equality of cells is ever used downstream, so the shift is free)."""
     n = len(strs)
     lens = np.fromiter((len(s) for s in strs), dtype=np.int64, count=n)
     lmax = max(int(lens.max()), 1) if n else 1
@@ -90,7 +95,7 @@ def _pad_codepoints(strs: list[str]) -> tuple[np.ndarray, np.ndarray]:
         rows = np.repeat(np.arange(n), lens)
         off = np.concatenate(([0], np.cumsum(lens)[:-1]))
         cols = np.arange(total) - np.repeat(off, lens)
-        M[rows, cols] = codes
+        M[rows, cols] = codes + 1
     return M, lens
 
 
@@ -169,21 +174,42 @@ def jaro_winkler_batch(
         return out
     # C-level factorize of the (a, b) pair: factorize each side
     # independently, then combine the integer codes — collision-free
-    # for ANY string content (string-concat keys are not: a separator
-    # char can appear in a key, and pandas concat silently drops NUL
-    # bytes).  First occurrence per combined code recovers the unique
-    # pair list without any per-row Python.
-    ca, _ = pd.factorize(pd.Series(av))  # -1 for null/non-str
-    cb, _ = pd.factorize(pd.Series(bv))
-    valid = (ca >= 0) & (cb >= 0)
-    codes = np.where(
-        valid, ca.astype(np.int64) * (int(cb.max()) + 2) + cb, -1
+    # for any string content WITHOUT NUL bytes (string-concat keys are
+    # not: a separator char can appear in a key).  pandas' string hash
+    # table treats values as C strings, so '' and '\x00' (and any
+    # pair differing only past a NUL) collapse to one code — probe for
+    # NULs with one vectorized pass and skip the dedup for such
+    # batches (never real path/repo data; correctness for the public
+    # operator).  First occurrence per combined code recovers the
+    # unique pair list without any per-row Python.
+    sa, sb = pd.Series(av), pd.Series(bv)
+    has_nul = bool(
+        sa.str.contains("\x00", regex=False).any()
+        or sb.str.contains("\x00", regex=False).any()
     )
-    ucodes, first = np.unique(codes, return_index=True)
-    if len(ucodes) and ucodes[0] == -1:  # nulls -> 0.0
-        ucodes, first = ucodes[1:], first[1:]
-    if not len(ucodes):
-        return out
+    if has_nul:
+        valid = np.fromiter(
+            (isinstance(x, str) and isinstance(y, str) for x, y in zip(av, bv)),
+            dtype=bool,
+            count=n,
+        )
+        ucodes = codes = np.where(valid, np.arange(n, dtype=np.int64), -1)
+        first = np.arange(n)
+        ucodes, first = ucodes[valid], first[valid]
+        if not len(ucodes):
+            return out
+    else:
+        ca, _ = pd.factorize(sa)  # -1 for null/non-str
+        cb, _ = pd.factorize(sb)
+        valid = (ca >= 0) & (cb >= 0)
+        codes = np.where(
+            valid, ca.astype(np.int64) * (int(cb.max()) + 2) + cb, -1
+        )
+        ucodes, first = np.unique(codes, return_index=True)
+        if len(ucodes) and ucodes[0] == -1:  # nulls -> 0.0
+            ucodes, first = ucodes[1:], first[1:]
+        if not len(ucodes):
+            return out
     ua, ub = av[first], bv[first]
     uscore = np.zeros(len(ua), dtype=np.float64)
     # identical non-empty strings score 1.0 without touching the matrix

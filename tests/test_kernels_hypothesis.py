@@ -1,0 +1,65 @@
+"""Hypothesis property tests for the pure-numpy hot-path kernels —
+no SparkSession needed, so they pin the batch kernels' semantics
+independently of the JVM.
+
+Two equivalence contracts:
+1. ``pack_ip_series_s16`` (the zero-object |S16 enrichment key path
+   added for geoip/spur string batches) must agree byte-for-byte with
+   the older object-array ``pack_ip_series`` on every input.
+2. ``jaro_winkler_batch`` (the vectorized (L, N) matrix kernel that
+   scores candidate pairs) must agree with the scalar textbook
+   ``jaro_winkler`` to float precision on every string pair.
+"""
+
+import ipaddress
+
+import numpy as np
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from polars_iptools_spark.functions import _ipparse
+from polars_iptools_spark.plans import scoring
+
+# -- strategies ---------------------------------------------------------
+
+_octet = st.integers(0, 255)
+_v4 = st.builds(lambda a, b, c, d: f"{a}.{b}.{c}.{d}", _octet, _octet, _octet, _octet)
+_v6 = st.integers(0, (1 << 128) - 1).map(lambda v: str(ipaddress.IPv6Address(v)))
+_garbage = st.text("0123456789abcdefg.:% ", max_size=20)
+_ip_like = st.one_of(_v4, _v6, _garbage, st.none())
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(_ip_like, max_size=40))
+def test_pack_s16_matches_object_path(vals):
+    s = pd.Series(vals, dtype=object)
+    kb, valid = _ipparse.pack_ip_series_s16(s)
+    legacy = _ipparse.pack_ip_series(s)
+    for i in range(len(s)):
+        if legacy[i] is None:
+            assert not valid[i], f"row {i}: s16 valid but legacy None ({vals[i]!r})"
+        else:
+            assert valid[i], f"row {i}: legacy parsed but s16 invalid ({vals[i]!r})"
+            # numpy |S16 strips trailing NULs; zero-pad back to 16 for
+            # the byte-level comparison (ordering semantics unaffected —
+            # see FlatTable.lookup_s16)
+            assert bytes(kb[i]).ljust(16, b"\x00") == legacy[i], (
+                f"row {i}: key bytes differ ({vals[i]!r})"
+            )
+
+
+_word = st.text(
+    st.characters(codec="utf-8", exclude_categories=("Cs",)), max_size=24
+)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(st.tuples(_word, _word), min_size=1, max_size=30))
+def test_jw_batch_matches_scalar(pairs):
+    a = np.array([p[0] for p in pairs], dtype=object)
+    b = np.array([p[1] for p in pairs], dtype=object)
+    batch = scoring.jaro_winkler_batch(a, b)
+    for i, (x, y) in enumerate(pairs):
+        expect = scoring.jaro_winkler(x, y)
+        assert abs(batch[i] - expect) < 1e-12, (x, y, batch[i], expect)
