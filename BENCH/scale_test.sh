@@ -11,6 +11,7 @@ cd "$(dirname "$0")/.."
 FILES="${SPARK_GRAFT_SCALE_FILES:-600000}"
 TRUTH="${SPARK_GRAFT_SCALE_TRUTH:-1}"  # 0 skips the post-timing F1 eval (big sweeps)
 REPS="${SPARK_GRAFT_SCALE_REPS:-3}"    # best-of-N per level (noisy-neighbor insurance)
+LOADGATE="${SPARK_GRAFT_SCALE_LOADGATE:-}"  # e.g. 2.0: wait (<=30 min) for 1-min load below this before each rep
 N="${SPARK_GRAFT_SCALE_N:-4}"
 N4=$((N * 4))
 WORK="$(mktemp -d /tmp/scale.XXXXXX)"
@@ -44,6 +45,16 @@ COMMON=(--conf spark.ui.enabled=false
 
 for CORES in "$N" "$N4"; do
   for REP in $(seq 1 "$REPS"); do
+    if [ -n "$LOADGATE" ]; then
+      # the sandbox's noisy-neighbor phases run 5-7 external cores for
+      # minutes at a time; a rep started inside one measures the
+      # neighbors, not the engine — wait (bounded) for a quiet window
+      for _ in $(seq 1 180); do
+        L=$(cut -d' ' -f1 /proc/loadavg)
+        awk -v l="$L" -v g="$LOADGATE" 'BEGIN{exit !(l<g)}' && break
+        sleep 10
+      done
+    fi
     echo "=== local[$CORES] rep $REP (load: $(cut -d' ' -f1 /proc/loadavg)) ===" >&2
     spark-submit --master "local[$CORES]" \
       --conf "spark.sql.shuffle.partitions=$((CORES * 2))" \
