@@ -30,6 +30,10 @@ from .functions import (  # noqa: F401
 )
 from .namespace import IpCol, ipcol  # noqa: F401
 from .session import get_spark  # noqa: F401
-from .sql import column_sql, register_sql_functions  # noqa: F401
+from .sql import (  # noqa: F401
+    column_sql,
+    register_enrichment_sql_functions,
+    register_sql_functions,
+)
 
 __version__ = "0.1.0"

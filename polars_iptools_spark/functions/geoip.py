@@ -36,11 +36,9 @@ def _col(expr):
     return F.col(expr) if isinstance(expr, str) else expr
 
 
-def asn(expr: Column | str, reload_mmdb: bool = False, db_dir: str | None = None) -> Column:
-    """``"AS{num} {org}"`` string from GeoLite2-ASN.
-
-    ``db_dir`` overrides the MAXMIND_MMDB_DIR resolution (test seam).
-    """
+def asn_udf(reload_mmdb: bool = False, db_dir: str | None = None):
+    """The ASN-lookup pandas UDF itself (for ``spark.udf.register`` /
+    SQL-text use); :func:`asn` is the Column-level sugar over it."""
     bc, tables = _get_tables(reload_mmdb, db_dir)
 
     @F.pandas_udf(StringType())
@@ -62,11 +60,21 @@ def asn(expr: Column | str, reload_mmdb: bool = False, db_dir: str | None = None
         out[null_in] = None
         return pd.Series(out)
 
-    return _asn_udf(_col(expr))
+    return _asn_udf
 
 
-def full(expr: Column | str, reload_mmdb: bool = False, db_dir: str | None = None) -> Column:
-    """12-field geolocation struct from GeoLite2-ASN + GeoLite2-City."""
+def asn(expr: Column | str, reload_mmdb: bool = False, db_dir: str | None = None) -> Column:
+    """``"AS{num} {org}"`` string from GeoLite2-ASN.
+
+    ``db_dir`` overrides the MAXMIND_MMDB_DIR resolution (test seam).
+    """
+    return asn_udf(reload_mmdb, db_dir)(_col(expr))
+
+
+def full_udf(reload_mmdb: bool = False, db_dir: str | None = None):
+    """The 12-field geolocation pandas UDF itself (for
+    ``spark.udf.register`` / SQL-text use); :func:`full` is the
+    Column-level sugar over it."""
     bc, tables = _get_tables(reload_mmdb, db_dir)
 
     @F.pandas_udf(GEOIP_SCHEMA)
@@ -107,4 +115,9 @@ def full(expr: Column | str, reload_mmdb: bool = False, db_dir: str | None = Non
             df.loc[bad, :] = None
         return df
 
-    return _full_udf(_col(expr))
+    return _full_udf
+
+
+def full(expr: Column | str, reload_mmdb: bool = False, db_dir: str | None = None) -> Column:
+    """12-field geolocation struct from GeoLite2-ASN + GeoLite2-City."""
+    return full_udf(reload_mmdb, db_dir)(_col(expr))

@@ -20,11 +20,12 @@ __all__ = ["full"]
 _DB = _enrich.BroadcastedDB(_enrich.build_spur_tables)
 
 
-def full(expr: Column | str, reload_mmdb: bool = False, db_dir: str | None = None) -> Column:
+def full_udf(reload_mmdb: bool = False, db_dir: str | None = None):
+    """The Spur-context pandas UDF itself (for ``spark.udf.register`` /
+    SQL-text use); :func:`full` is the Column-level sugar over it."""
     resolved = _enrich.resolve_mmdb_dir("SPUR_MMDB_DIR", db_dir)
     spark = SparkSession.getActiveSession()
     bc, tables = _DB.broadcast(spark, resolved, reload=reload_mmdb)
-    c = F.col(expr) if isinstance(expr, str) else expr
 
     @F.pandas_udf(SPUR_SCHEMA)
     def _spur_udf(s: pd.Series) -> pd.DataFrame:
@@ -46,4 +47,9 @@ def full(expr: Column | str, reload_mmdb: bool = False, db_dir: str | None = Non
             df.loc[bad, :] = None
         return df
 
-    return _spur_udf(c)
+    return _spur_udf
+
+
+def full(expr: Column | str, reload_mmdb: bool = False, db_dir: str | None = None) -> Column:
+    c = F.col(expr) if isinstance(expr, str) else expr
+    return full_udf(reload_mmdb, db_dir)(c)

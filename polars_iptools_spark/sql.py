@@ -99,6 +99,9 @@ def register_sql_functions(spark: SparkSession, prefix: str = "pis_") -> list[st
       - ``{prefix}to_string(addr)``  — typed address -> canonical string
       - ``{prefix}extract_ips_v6(text)``        — IPv6-capable extraction
       - ``{prefix}extract_public_ips_v6(text)`` — public-only variant
+
+    Enrichment registration is separate (:func:`register_enrichment_sql_functions`)
+    because it resolves MMDB paths eagerly.
     """
     from .functions.iptools import _extract_udf_v6, _to_address_udf, _to_string_udf
 
@@ -108,6 +111,38 @@ def register_sql_functions(spark: SparkSession, prefix: str = "pis_") -> list[st
         f"{prefix}extract_ips_v6": _extract_udf_v6(False, False, False, False),
         f"{prefix}extract_public_ips_v6": _extract_udf_v6(True, False, False, False),
     }
+    for name, fn in regs.items():
+        spark.udf.register(name, fn)
+    return list(regs)
+
+
+def register_enrichment_sql_functions(
+    spark: SparkSession,
+    prefix: str = "pis_",
+    geoip_dir: str | None = None,
+    spur_dir: str | None = None,
+) -> list[str]:
+    """Register the MMDB-backed enrichment UDFs for SQL-text use:
+    ``{prefix}geoip_asn(ip)``, ``{prefix}geoip_full(ip)`` (12-field
+    struct) and, when a Spur feed is configured, ``{prefix}spur_full(ip)``.
+
+    The interval tables are decoded and broadcast ONCE at registration
+    (same broadcast the Column API uses — registering does not duplicate
+    the DB in executor memory).  ``geoip_dir``/``spur_dir`` override
+    the ``MAXMIND_MMDB_DIR``/``SPUR_MMDB_DIR`` resolution."""
+    from .functions import geoip as _geoip
+
+    regs = {
+        f"{prefix}geoip_asn": _geoip.asn_udf(db_dir=geoip_dir),
+        f"{prefix}geoip_full": _geoip.full_udf(db_dir=geoip_dir),
+    }
+    try:
+        from .functions import spur as _spur
+
+        regs[f"{prefix}spur_full"] = _spur.full_udf(db_dir=spur_dir)
+    except Exception:
+        # no spur.mmdb configured — geoip registration still proceeds
+        pass
     for name, fn in regs.items():
         spark.udf.register(name, fn)
     return list(regs)

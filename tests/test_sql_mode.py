@@ -105,3 +105,27 @@ def test_column_sql_is_plain_text(spark):
     """The rendered form is genuine SQL text (no JVM object repr)."""
     txt = ip.column_sql(ip.is_valid("ip"))
     assert isinstance(txt, str) and "RLIKE" in txt.upper()
+
+
+def test_registered_enrichment_parity(spark):
+    """geoip via registered pis_* SQL functions equals the Column API
+    (reference golden: 67.43.156.1 -> AS35908)."""
+    names = ip.register_enrichment_sql_functions(
+        spark, geoip_dir="/root/reference/tests/maxmind"
+    )
+    assert {"pis_geoip_asn", "pis_geoip_full"} <= set(names)
+    df = spark.createDataFrame(
+        [("67.43.156.1",), ("10.0.0.1",), (None,), ("2001:218::1",)], "ip string"
+    )
+    df.createOrReplaceTempView("sqlmode_geo")
+    api = df.select(
+        "ip",
+        ip.geoip.asn("ip", db_dir="/root/reference/tests/maxmind").alias("a"),
+        ip.geoip.full("ip", db_dir="/root/reference/tests/maxmind").alias("g"),
+    ).collect()
+    via_sql = spark.sql(
+        "SELECT ip, pis_geoip_asn(ip) AS a, pis_geoip_full(ip) AS g FROM sqlmode_geo"
+    ).collect()
+    assert api == via_sql
+    golden = {r.ip: r.a for r in via_sql}
+    assert golden["67.43.156.1"] == "AS35908"
