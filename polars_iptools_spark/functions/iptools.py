@@ -227,8 +227,33 @@ def _to_string_udf(s: pd.Series) -> pd.Series:
         return pd.Series(out)
     first = next((v for v in vals if v is not None), None)
     if isinstance(first, (bytes, bytearray)):
-        for i, v in enumerate(vals):
-            if v is not None:
+        # vectorized fast path for the dominant shape: 16-byte v4-mapped
+        # keys render as dotted quads straight from a (k, 16) byte
+        # matrix; only true-IPv6 rows (RFC-5952 compression needed) and
+        # odd lengths fall back to the per-row formatter
+        idx16 = np.flatnonzero(
+            np.fromiter(
+                (v is not None and len(v) == 16 for v in vals),
+                dtype=bool,
+                count=n,
+            )
+        )
+        if len(idx16):
+            M = np.frombuffer(
+                b"".join(bytes(vals[i]) for i in idx16), dtype=np.uint8
+            ).reshape(-1, 16)
+            mapped = (
+                (M[:, :10] == 0).all(axis=1)
+                & (M[:, 10] == 0xFF)
+                & (M[:, 11] == 0xFF)
+            )
+            if mapped.any():
+                out[idx16[mapped]] = _ipparse.quad_strings(M[mapped, 12:16])
+            for i in idx16[~mapped]:
+                out[i] = _ipparse.packed16_to_str(bytes(vals[i]))
+        for i in range(n):
+            v = vals[i]
+            if v is not None and len(v) != 16:
                 out[i] = _ipparse.packed16_to_str(bytes(v))
         return pd.Series(out)
     # numeric u32 path — fully vectorized string build
@@ -236,12 +261,10 @@ def _to_string_udf(s: pd.Series) -> pd.Series:
     ok = nums.notna() & (nums >= 0) & (nums <= _MAX_U32)
     if ok.any():
         v = nums[ok].to_numpy(np.int64)
-        parts = [((v >> k) & 255).astype("U3") for k in (24, 16, 8, 0)]
-        quad = np.char.add(
-            np.char.add(np.char.add(np.char.add(parts[0], "."), parts[1]), "."),
-            np.char.add(np.char.add(parts[2], "."), parts[3]),
+        octs = np.stack(
+            [(v >> 24) & 255, (v >> 16) & 255, (v >> 8) & 255, v & 255], axis=1
         )
-        out[np.flatnonzero(ok.to_numpy())] = quad
+        out[np.flatnonzero(ok.to_numpy())] = _ipparse.quad_strings(octs)
     return pd.Series(out)
 
 

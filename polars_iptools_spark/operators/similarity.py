@@ -37,6 +37,14 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def unit(a: Column) -> Column:
+    """L2-normalized copy of the vector (cast to double).  Normalizing
+    each vector ONCE turns every later cosine into a plain dot product
+    — at web scale the corpus is normalized at ingest, never per pair."""
+    n = norm(F.transform(a, lambda x: x.cast("double")))
+    return F.transform(a, lambda x: x.cast("double") / n)
+
+
 def brute_force_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -261,17 +269,21 @@ def lsh_near_duplicates(
     cand = _bucket_pairs(
         b.select("doc", "band", "bucket"), max_bucket_size
     ).withColumnsRenamed({"doc_a": "id_a", "doc_b": "id_b"})
-    vecs = embeddings.select(F.col(id_col), F.col(vec_col))
+    # normalize each vector ONCE (n rows), so per-candidate exact
+    # verification is a single dot product — the naive per-pair
+    # cosine() recomputes BOTH norms per candidate, tripling the JVM
+    # higher-order-function work on the quadratic-ish candidate stream
+    vecs = embeddings.select(F.col(id_col), unit(F.col(vec_col)).alias("_nv"))
     return (
         cand.join(
-            vecs.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a")),
+            vecs.select(F.col(id_col).alias("id_a"), F.col("_nv").alias("vec_a")),
             "id_a",
         )
         .join(
-            vecs.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b")),
+            vecs.select(F.col(id_col).alias("id_b"), F.col("_nv").alias("vec_b")),
             "id_b",
         )
-        .withColumn("cosine", cosine(F.col("vec_a"), F.col("vec_b")))
+        .withColumn("cosine", dot(F.col("vec_a"), F.col("vec_b")))
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )

@@ -49,6 +49,34 @@ def test_pack_s16_matches_object_path(vals):
             )
 
 
+_v4ish = st.one_of(
+    _v4,
+    # near-miss forms the strict gate must reject exactly like the regex
+    st.builds(lambda a, b, c: f"{a}.{b}.{c}", _octet, _octet, _octet),
+    st.builds(lambda v4: "0" + v4, _v4),
+    st.builds(lambda v4: v4 + " ", _v4),
+    st.builds(lambda v4: " " + v4, _v4),
+    st.builds(lambda v4: "0x" + v4, _v4),
+    st.builds(lambda a, b: f"{a}.{b}", st.integers(0, 2**24 - 1), _octet),
+    st.text("0123456789.x ", max_size=18),
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(_v4ish, max_size=30))
+def test_parse_v4_strict_equals_regex(vals):
+    """The inet_aton + canonical-roundtrip parser accepts EXACTLY the
+    strict dotted-quad language of V4_FULLMATCH, with equal values."""
+    arr = np.array(vals, dtype=object)
+    nums, mask = _ipparse.parse_v4_strict(arr)
+    for i, v in enumerate(vals):
+        m = _ipparse.V4_FULLMATCH.match(v)
+        assert bool(mask[i]) == bool(m), f"{v!r}: strict={mask[i]} regex={bool(m)}"
+        if m:
+            expect = sum(int(g) << k for g, k in zip(m.groups(), (24, 16, 8, 0)))
+            assert int(nums[i]) == expect, (v, nums[i], expect)
+
+
 _word = st.text(
     st.characters(codec="utf-8", exclude_categories=("Cs",)), max_size=24
 )
