@@ -184,8 +184,8 @@ def jaro_winkler_batch(
     # unique pair list without any per-row Python.
     sa, sb = pd.Series(av), pd.Series(bv)
     has_nul = bool(
-        sa.str.contains("\x00", regex=False).any()
-        or sb.str.contains("\x00", regex=False).any()
+        sa.str.contains("\x00", regex=False, na=False).any()
+        or sb.str.contains("\x00", regex=False, na=False).any()
     )
     if has_nul:
         valid = np.fromiter(
