@@ -10,9 +10,10 @@ is tuned so the (seed-fixed, deterministic) recall against the exact
 pair set is 1.0 at the driver's sf0.01, and candidates are
 exact-verified, so the emitted set equals the SQL-computable exact set
 — any regression in recall, hashing or verification breaks the match.
-Only simhash_pairs and winnowing remain rows-only (their emitted
-VALUES are xxhash64-derived, which SQL cannot reproduce; both carry
-property-based pytest coverage instead).
+simhash_pairs and winnowing (xxhash64-derived values SQL cannot
+recompute) are checked against pinned seed-fixed goldens
+(`_SIMHASH_GOLDEN` / `_WINNOW_GOLDEN`) plus property-based pytest
+coverage — every query now carries a full value oracle.
 
 Input derivation: the testdata tables carry no IP columns, so IP-shaped
 inputs are derived *deterministically and identically* in both engines
@@ -275,6 +276,90 @@ def _spur_fixture_dir() -> str:
     return out
 
 
+
+# ---------------------------------------------------------------------------
+# pinned goldens for the two xxhash64-derived queries
+# ---------------------------------------------------------------------------
+# Both outputs are fully deterministic at fixed seed (xxhash64 with
+# literal seeds over doc_id-keyed text), but DuckDB cannot recompute
+# xxhash64 — so the oracle pins the seed-fixed sf0.01 output as a
+# literal VALUES table.  Every stage regression (tokenizer, hashing,
+# banding, bucket guard, hamming/window selection) changes these rows
+# and breaks the driver's value-hash match.  Valid ONLY at the
+# driver's sf0.01 gate; pytest property tests cover other inputs.
+
+_SIMHASH_GOLDEN = [
+    (8,245,2),(45,413,3),(58,293,0),(61,185,0),
+    (70,447,1),(76,102,2),(98,290,2),(107,387,1),
+    (120,332,3),(166,323,3),(251,473,3),(267,413,2),
+    (285,301,0),(326,457,2),(393,420,0),(435,486,3),
+    (458,462,2),
+]
+
+_WINNOW_GOLDEN = [
+    (0,12),(1,25),(2,15),(3,8),(4,17),(5,20),(6,4),(7,25),(8,32),(9,27),
+    (10,18),(11,22),(12,25),(13,22),(14,29),(15,13),(16,4),(17,30),(18,28),(19,3),
+    (20,26),(21,13),(22,31),(23,9),(24,35),(25,35),(26,2),(27,19),(28,20),(29,11),
+    (30,11),(31,14),(32,35),(33,15),(34,9),(35,35),(36,8),(37,26),(38,11),(39,7),
+    (40,29),(41,23),(42,17),(43,10),(44,9),(45,29),(46,29),(47,14),(48,7),(49,17),
+    (50,15),(51,20),(52,3),(53,13),(54,22),(55,13),(56,35),(57,30),(58,28),(59,9),
+    (60,37),(61,24),(62,29),(63,40),(64,8),(65,4),(66,22),(67,20),(68,12),(69,19),
+    (70,38),(71,19),(72,15),(73,31),(74,1),(75,21),(76,24),(77,21),(78,14),(79,2),
+    (80,10),(81,22),(82,15),(83,4),(84,28),(85,9),(86,6),(87,6),(88,18),(89,8),
+    (90,7),(91,28),(92,8),(93,10),(94,8),(95,22),(96,31),(97,20),(98,38),(99,14),
+    (100,30),(101,14),(102,32),(103,37),(104,13),(105,21),(106,2),(107,14),(108,3),(109,27),
+    (110,3),(111,36),(112,18),(113,29),(114,12),(115,7),(116,1),(117,16),(118,28),(119,4),
+    (120,12),(121,8),(122,6),(123,7),(124,26),(125,11),(126,36),(127,30),(128,32),(129,28),
+    (130,9),(131,20),(132,21),(133,36),(134,7),(135,39),(136,25),(137,14),(138,23),(139,18),
+    (140,7),(141,28),(142,40),(143,28),(144,5),(145,29),(146,8),(147,34),(148,14),(149,7),
+    (150,14),(151,35),(152,13),(153,28),(154,30),(155,26),(156,8),(157,6),(158,5),(159,26),
+    (160,17),(161,37),(162,27),(163,16),(164,6),(165,6),(166,21),(167,32),(168,13),(169,26),
+    (170,7),(171,24),(172,6),(173,36),(174,22),(175,8),(176,33),(177,17),(178,12),(179,32),
+    (180,8),(181,5),(182,22),(183,7),(184,29),(185,23),(186,28),(187,34),(188,18),(189,11),
+    (190,34),(191,7),(192,8),(193,11),(194,9),(195,20),(196,19),(197,39),(198,16),(199,8),
+    (200,20),(201,22),(202,34),(203,7),(204,7),(205,25),(206,7),(207,25),(208,9),(209,13),
+    (210,36),(211,20),(212,15),(213,35),(214,3),(215,33),(216,36),(217,27),(218,29),(219,8),
+    (220,35),(221,12),(222,19),(223,33),(224,29),(225,23),(226,7),(227,31),(228,36),(229,30),
+    (230,21),(231,8),(232,18),(233,31),(234,22),(235,14),(236,2),(237,27),(238,18),(239,11),
+    (240,25),(241,36),(242,26),(243,9),(244,23),(245,31),(246,14),(247,27),(248,32),(249,26),
+    (250,16),(251,33),(252,16),(253,13),(254,6),(255,8),(256,3),(257,7),(258,24),(259,16),
+    (260,7),(261,29),(262,19),(263,28),(264,34),(265,15),(266,14),(267,29),(268,11),(269,34),
+    (270,35),(271,18),(272,35),(273,9),(274,40),(275,2),(276,38),(277,10),(278,26),(279,19),
+    (280,33),(281,9),(282,10),(283,29),(284,21),(285,36),(286,16),(287,4),(288,12),(289,15),
+    (290,38),(291,28),(292,33),(293,28),(294,30),(295,13),(296,26),(297,21),(298,10),(299,35),
+    (300,13),(301,36),(302,34),(303,31),(304,14),(305,4),(306,27),(307,17),(308,5),(309,16),
+    (310,9),(311,32),(312,26),(313,5),(314,13),(315,33),(316,28),(317,26),(318,32),(319,32),
+    (320,25),(321,18),(322,18),(323,21),(324,14),(325,19),(326,12),(327,10),(328,31),(329,23),
+    (330,21),(331,15),(332,12),(333,10),(334,38),(335,21),(336,25),(337,14),(338,5),(339,10),
+    (340,15),(341,32),(342,7),(343,9),(344,27),(345,20),(346,30),(347,19),(348,9),(349,29),
+    (350,34),(351,23),(352,42),(353,23),(354,30),(355,19),(356,24),(357,19),(358,2),(359,25),
+    (360,30),(361,24),(362,3),(363,21),(364,16),(365,3),(366,20),(367,12),(368,3),(369,18),
+    (370,15),(371,21),(372,8),(373,24),(374,12),(375,21),(376,25),(377,15),(378,23),(379,24),
+    (380,31),(381,24),(382,6),(383,15),(384,5),(385,21),(386,33),(387,13),(388,25),(389,9),
+    (390,9),(391,12),(392,5),(393,30),(394,26),(395,30),(396,15),(397,17),(398,5),(399,19),
+    (400,7),(401,25),(402,11),(403,32),(404,16),(405,22),(406,27),(407,5),(408,5),(409,22),
+    (410,30),(411,28),(412,26),(413,29),(414,30),(415,22),(416,18),(417,36),(418,34),(419,6),
+    (420,30),(421,33),(422,25),(423,29),(424,25),(425,6),(426,30),(427,27),(428,16),(429,35),
+    (430,30),(431,19),(432,23),(433,10),(434,31),(435,10),(436,17),(437,29),(438,12),(439,11),
+    (440,12),(441,36),(442,31),(443,21),(444,26),(445,21),(446,10),(447,37),(448,19),(449,13),
+    (450,7),(451,6),(452,23),(453,33),(454,10),(455,2),(456,7),(457,12),(458,23),(459,26),
+    (460,18),(461,26),(462,23),(463,38),(464,12),(465,24),(466,29),(467,25),(468,12),(469,2),
+    (470,13),(471,22),(472,13),(473,18),(474,26),(475,4),(476,3),(477,8),(478,17),(479,25),
+    (480,25),(481,6),(482,11),(483,16),(484,18),(485,7),(486,10),(487,19),(488,12),(489,21),
+    (490,20),(491,25),(492,4),(493,34),(494,13),(495,25),(496,30),(497,4),(498,33),(499,11),
+]
+
+
+def _pinned_values_sql(rows: list[tuple], casts: list[tuple[str, str]]) -> str:
+    """Literal rows -> DuckDB VALUES oracle with Spark-matching types."""
+    vals = ",".join("(" + ",".join(str(v) for v in r) + ")" for r in rows)
+    cols = ", ".join(
+        f"CAST(c{i} AS {t}) AS {name}" for i, (name, t) in enumerate(casts)
+    )
+    names = ", ".join(f"c{i}" for i in range(len(casts)))
+    return f"SELECT {cols} FROM (VALUES {vals}) AS t({names})"
+
+
 # ---------------------------------------------------------------------------
 # queries
 # ---------------------------------------------------------------------------
@@ -441,6 +526,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
 
     def q_simhash_pairs(spark, sf):
+        # oracle: pinned seed-fixed golden (_SIMHASH_GOLDEN)
         d = spark.read.parquet(f"{sf}/documents.parquet")
         return dedup.simhash_pairs(d, "doc_id", "text", max_hamming=3, bands=4)
 
@@ -474,7 +560,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def q_winnowing(spark, sf):
-        # rows-only (xxhash64-based)
+        # oracle: pinned seed-fixed golden (_WINNOW_GOLDEN)
         d = spark.read.parquet(f"{sf}/documents.parquet")
         return d.select(
             "doc_id",
@@ -892,6 +978,13 @@ FROM documents""",
         "fingerprint": """
 SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
 FROM documents""",
+        "simhash_pairs": _pinned_values_sql(
+            _SIMHASH_GOLDEN,
+            [("doc_a", "BIGINT"), ("doc_b", "BIGINT"), ("hamming", "INTEGER")],
+        ),
+        "winnowing": _pinned_values_sql(
+            _WINNOW_GOLDEN, [("doc_id", "BIGINT"), ("n_fp", "INTEGER")]
+        ),
         "ann_cosine_topk": """
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
 q AS (SELECT vec_id AS query_id, emb AS qemb FROM e WHERE vec_id < 3),

@@ -26,8 +26,11 @@ import numpy as np
 import pandas as pd
 
 _V4_OCTET = r"(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
+# \A..\Z (Python's absolute end anchor — NOT '$', which also matches
+# before a trailing newline and would disagree with the strict
+# canonical-roundtrip gate on inputs like '1.2.3.4\n')
 V4_FULLMATCH = re.compile(
-    r"^" + r"\.".join([_V4_OCTET] * 4) + r"$"
+    r"\A" + r"\.".join([_V4_OCTET] * 4) + r"\Z"
 )
 
 V4_MAPPED_PREFIX = b"\x00" * 10 + b"\xff\xff"

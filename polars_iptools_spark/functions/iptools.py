@@ -74,9 +74,15 @@ for _r in range(0, 6):
     _V6_V4.append(rf"{_left}::{_mid}{_V4}")
 _V6 = "(?:" + "|".join(_V6_PURE + _V6_V4) + ")"
 
-V4_ANCHORED = f"^{_V4}$"
-V6_ANCHORED = f"^{_V6}$"
-VALID_ANCHORED = f"^(?:{_V4}|{_V6})$"
+# \A..\z absolute anchors (not ^..$): Java's '$' also matches just
+# before a FINAL newline, so '^..$' would accept '1.2.3.4\n' in
+# is_valid while the strict roundtrip parser (and Rust from_str,
+# /root/reference/src/iptools.rs:62) reject it — a cross-op
+# inconsistency.  \z anchors at the true end of input in Java regex
+# AND DuckDB's RE2 (the oracle embeds VALID_ANCHORED verbatim).
+V4_ANCHORED = rf"\A{_V4}\z"
+V6_ANCHORED = rf"\A{_V6}\z"
+VALID_ANCHORED = rf"\A(?:{_V4}|{_V6})\z"
 
 # extraction candidate: strict dotted quad not butted against digits/dots
 _V4_CAND = rf"(?<![0-9.])({_V4})(?![0-9.])"

@@ -85,6 +85,14 @@ def ngram_jaccard_pairs(
     """
     idx = _shingle_index(df, id_col, text_col, k, max_shingle_freq)
     sizes = idx.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+    # explicit hash repartition on the join key, pinned partition count:
+    # the self-join's INPUT is small but its output explodes
+    # quadratically per shingle, and AQE coalesces exchanges by input
+    # bytes — without this the pair blow-up serializes onto a handful
+    # of tasks (same reason as blocking.candidate_pairs; user
+    # repartitions are exempt from AQE coalescing)
+    parts = max(df.sparkSession.sparkContext.defaultParallelism * 2, 8)
+    idx = idx.repartition(parts, "sh")
     a = idx.select(F.col("doc").alias("doc_a"), "sh")
     b = idx.select(F.col("doc").alias("doc_b"), "sh")
     common = (
@@ -272,30 +280,46 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFr
     functions, recombine into a bigint.  No shuffle, no Python worker,
     no wide aggregation buffers (the earlier explode+groupBy variant
     allocated 64 agg columns over the token explosion and thrashed GC
-    on large corpora)."""
+    on large corpora).
+
+    Bit tests run against a precomputed power-of-two LITERAL array
+    (``h & p`` per element) instead of ``bits`` unrolled shiftright
+    expressions inside the fold: the unrolled form built an ~O(bits²)
+    expression tree whose whole-stage-codegen compile dominated
+    small-batch latency (measured ~2s fixed cost at 64 bits); this
+    form keeps the tree O(bits) leaf literals with identical
+    signatures (bit 63's power is Long.MIN_VALUE, the two's-complement
+    top bit)."""
+    pows = F.array(
+        *[
+            F.lit(1 << b if b < 63 else -(2**63)).cast("long")
+            for b in range(bits)
+        ]
+    )
     hashes = F.transform(words(F.col(text_col)), lambda t: F.xxhash64(t))
     counts = F.aggregate(
         hashes,
         F.array_repeat(F.lit(0), bits),
         lambda acc, h: F.zip_with(
             acc,
-            F.array(
-                *[F.shiftright(h, b).bitwiseAND(F.lit(1)) for b in range(bits)]
-            ),
-            lambda a, bit: a + F.when(bit == 1, 1).otherwise(-1),
+            pows,
+            lambda a, p: a
+            + F.when(h.bitwiseAND(p) != 0, 1).otherwise(-1),
         ),
     )
-    base = ensure_parallelism(df).select(
-        F.col(id_col).alias("doc"), counts.alias("_c")
+    # recombine: positive count -> that bit's power ORed in
+    sig = F.aggregate(
+        F.zip_with(
+            counts,
+            pows,
+            lambda c, p: F.when(c > 0, p).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, x: a.bitwiseOR(x),
     )
-    sig = None
-    for b in range(bits):
-        term = F.when(
-            F.col("_c")[b] > 0,
-            F.lit(1 << b).cast("long") if b < 63 else F.lit(-(2**63)),
-        ).otherwise(F.lit(0).cast("long"))
-        sig = term if sig is None else sig.bitwiseOR(term)
-    return base.select("doc", sig.alias("simhash"))
+    return ensure_parallelism(df).select(
+        F.col(id_col).alias("doc"), sig.alias("simhash")
+    )
 
 
 def simhash_pairs(

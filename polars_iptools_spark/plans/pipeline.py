@@ -54,7 +54,19 @@ def run_pipeline(
     ipv6: bool = False,
 ) -> dict:
     """Returns dict with 'clusters' (rid, commit, cluster_id), 'edges',
-    'metrics' (per-stage lineage)."""
+    'metrics' (per-stage lineage).
+
+    Dirty-corpus caveat (documented tradeoff, see
+    blocking.extract_indicators): EXACT-duplicate corpus rows — same
+    (repo, path, commit), hence the same rid — emit duplicate
+    (rid, ip) indicator rows rather than paying a corpus-wide
+    dropDuplicates shuffle.  Final clusters stay correct (the closure's
+    edge normalize dedups), but block_histogram counts are inflated
+    (possibly triggering refinement early) and affected pairs are
+    scored up to 4x.  If duplicate rows are expected, dedup the corpus
+    once upstream on (repo, path, commit) — cheaper than a wide
+    (rid, ip) dropDuplicates here.
+    """
     runner = StageRunner(spark, ckpt_dir)
     _to_unpersist: list[DataFrame] = []
 

@@ -68,8 +68,15 @@ def _rewrite_lambdas(text: str) -> str:
             ch = text[i]
             if in_str:
                 if ch == "'":
-                    # Spark SQL escapes a quote inside a literal as \'
-                    if text[i - 1] != "\\":
+                    # Spark SQL escapes a quote inside a literal as \';
+                    # a backslash itself is escaped as \\, so the quote
+                    # is escaped only when preceded by an ODD run of
+                    # backslashes (a literal ending in '\\' must still
+                    # close the string)
+                    j = i - 1
+                    while j >= 0 and text[j] == "\\":
+                        j -= 1
+                    if (i - 1 - j) % 2 == 0:
                         in_str = False
             elif ch == "'":
                 in_str = True
@@ -136,13 +143,18 @@ def register_enrichment_sql_functions(
         f"{prefix}geoip_asn": _geoip.asn_udf(db_dir=geoip_dir),
         f"{prefix}geoip_full": _geoip.full_udf(db_dir=geoip_dir),
     }
+    import os as _os
+
     try:
         from .functions import spur as _spur
 
         regs[f"{prefix}spur_full"] = _spur.full_udf(db_dir=spur_dir)
-    except Exception:
-        # no spur.mmdb configured — geoip registration still proceeds
-        pass
+    except FileNotFoundError:
+        # suppress ONLY the genuinely-not-configured case; a caller who
+        # explicitly pointed at a Spur directory (argument or env var)
+        # gets the real error instead of a silent missing registration
+        if spur_dir is not None or "SPUR_MMDB_DIR" in _os.environ:
+            raise
     for name, fn in regs.items():
         spark.udf.register(name, fn)
     return list(regs)

@@ -26,7 +26,7 @@ from polars_iptools_spark.plans import scoring
 _octet = st.integers(0, 255)
 _v4 = st.builds(lambda a, b, c, d: f"{a}.{b}.{c}.{d}", _octet, _octet, _octet, _octet)
 _v6 = st.integers(0, (1 << 128) - 1).map(lambda v: str(ipaddress.IPv6Address(v)))
-_garbage = st.text("0123456789abcdefg.:% ", max_size=20)
+_garbage = st.text("0123456789abcdefg.:% \n", max_size=20)
 _ip_like = st.one_of(_v4, _v6, _garbage, st.none())
 
 
@@ -56,9 +56,12 @@ _v4ish = st.one_of(
     st.builds(lambda v4: "0" + v4, _v4),
     st.builds(lambda v4: v4 + " ", _v4),
     st.builds(lambda v4: " " + v4, _v4),
+    # trailing newline: '$'-anchored regex would accept, absolute \Z
+    # (and the strict parser) reject — the class the ADVICE flagged
+    st.builds(lambda v4: v4 + "\n", _v4),
     st.builds(lambda v4: "0x" + v4, _v4),
     st.builds(lambda a, b: f"{a}.{b}", st.integers(0, 2**24 - 1), _octet),
-    st.text("0123456789.x ", max_size=18),
+    st.text("0123456789.x \n", max_size=18),
 )
 
 

@@ -136,6 +136,22 @@ def test_ip_prefix_v6_expands_compression(spark):
     assert got["2606:4700::1111"] == got["2606:4700:0:1::1"] == got["2606:4700:0000:0002::5"]
 
 
+def test_ngram_index_join_has_aqe_exempt_repartition(spark):
+    """The shingle inverted-index self-join must carry the explicit
+    user repartition on the join key: its output explodes quadratically
+    per shingle, and without the AQE-coalescing-exempt exchange the
+    blow-up serializes onto a handful of tasks (same guard as
+    blocking.candidate_pairs)."""
+    df = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta {i}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    pairs = dedup.ngram_jaccard_pairs(df, "doc_id", "text", k=2, threshold=0.3)
+    plan = plan_of(pairs)
+    assert "REPARTITION_BY_NUM" in plan
+    assert pairs.count() >= 0  # and it still executes
+
+
 def test_minhash_hot_guard_has_no_collect_set(spark):
     """The hot-shingle skew guard must keep hot shingles distributed:
     no collect_set (single-row fold) anywhere in the physical plan."""
