@@ -749,6 +749,106 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "media_id", "n_bytes", "magic", "width", "height", "n_frames"
         )
 
+    def q_multimodal_meta_real(spark, sf):
+        # REAL stdlib container decode (BMP / PPM / WAV headers) over
+        # synthesized real-format payloads whose dimensions are pure
+        # doc_id arithmetic — the oracle recomputes every decoded field
+        # (incl. the BMP size bytes inside the 4-byte magic) from
+        # doc_id alone.  sha256 stays pytest-covered (DuckDB can't
+        # hash blobs).
+        d = spark.read.parquet(f"{sf}/documents.parquet")
+        media = multimodal.attach_synthetic_media(d, "doc_id")
+        return multimodal.extract_media_meta(
+            media, "doc_id", "media", decode_mode="real"
+        ).select("media_id", "n_bytes", "magic", "width", "height", "n_frames")
+
+    def q_extract_all_ips_alias(spark, sf):
+        # §2 #12: deprecated alias — must emit exactly the extract_ips
+        # result (the DeprecationWarning itself is pytest-asserted in
+        # tests/test_iptools.py; suppressed here to keep driver logs clean)
+        import warnings as _w
+
+        t = _derived_texts(spark, sf)
+        with _w.catch_warnings():
+            _w.simplefilter("ignore", DeprecationWarning)
+            col = ip.extract_all_ips("itext")
+        return t.select("doc_id", F.array_join(col, ",").alias("ips_csv"))
+
+    def q_namespace_chain(spark, sf):
+        # §2 #17: fluent .ip namespace — ipcol chains must equal the
+        # functional API the other oracles pin
+        from polars_iptools_spark.namespace import ipcol
+
+        df = _derived_ips(spark, sf)
+        return df.select(
+            "rid",
+            ipcol("ip").is_valid().alias("valid"),
+            ipcol("ip").to_address().to_string().alias("canonical"),
+            ipcol("ip").to_ipv4().to_string().alias("quad"),
+        )
+
+    def q_typed_parquet_roundtrip(spark, sf):
+        # §2 #18: the IPv4/IPAddress extension tags (schema field
+        # metadata) must survive a parquet write -> read cycle, and the
+        # typed storage columns must re-render to the canonical strings.
+        # The surviving tags are surfaced as literal columns so the
+        # oracle checks them by value.
+        import tempfile
+
+        from polars_iptools_spark import types as T
+
+        df = _derived_ips(spark, sf)
+        typed = df.select(
+            "rid",
+            T.as_ipv4(ip.to_ipv4("ip"), "ip4"),
+            T.as_ip_address(ip.to_address("ip"), "addr"),
+        )
+        path = tempfile.mkdtemp(prefix="pis_typedpq_") + "/t.parquet"
+        typed.write.mode("overwrite").parquet(path)
+        back = spark.read.parquet(path)
+        tags = T.ip_columns(back)
+        return back.select(
+            "rid",
+            F.lit(tags.get("ip4", "MISSING")).alias("tag_ip4"),
+            F.lit(tags.get("addr", "MISSING")).alias("tag_addr"),
+            ip.to_string("ip4").alias("quad"),
+            ip.to_string("addr").alias("canonical"),
+        )
+
+    def q_reload_mmdb(spark, sf):
+        # §2 #16: explicit reload semantics (the Spark analog of
+        # MaxMindDB::reload, /root/reference/src/maxmind.rs:161-168).
+        # A spur.mmdb replaced IN-PLACE keeps serving the cached tables
+        # until a column is built with reload_mmdb=True: tag_stale must
+        # show the v1 feed, tag_fresh the v2 feed, in the same result.
+        import tempfile
+
+        from polars_iptools_spark.sources.mmdb_writer import write_mmdb
+
+        d = tempfile.mkdtemp(prefix="pis_reload_")
+        path = f"{d}/spur.mmdb"
+        write_mmdb(
+            path,
+            [("5.0.0.0/8", {"tag": "one", "infrastructure": "DC1"})],
+            database_type="spur",
+        )
+        col_v1 = ip.spur.full("ip", db_dir=d)  # caches + broadcasts v1
+        write_mmdb(
+            path,
+            [("5.0.0.0/8", {"tag": "two", "infrastructure": "DC2"})],
+            database_type="spur",
+        )
+        col_stale = ip.spur.full("ip", db_dir=d)  # no reload: still v1
+        col_fresh = ip.spur.full("ip", db_dir=d, reload_mmdb=True)  # v2
+        del col_v1
+        df = _derived_ips(spark, sf)
+        return df.select(
+            "rid",
+            col_stale["tag"].alias("tag_stale"),
+            col_fresh["tag"].alias("tag_fresh"),
+            col_fresh["infrastructure"].alias("infra_fresh"),
+        )
+
     return {
         "is_valid": q_is_valid,
         "is_private": q_is_private,
@@ -784,6 +884,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_first_seen": q_streaming_first_seen,
         "streaming_windowed_counts": q_streaming_windowed_counts,
         "multimodal_meta": q_multimodal_meta,
+        "multimodal_meta_real": q_multimodal_meta_real,
+        "extract_all_ips_alias": q_extract_all_ips_alias,
+        "namespace_chain": q_namespace_chain,
+        "typed_parquet_roundtrip": q_typed_parquet_roundtrip,
+        "reload_mmdb": q_reload_mmdb,
     }
 
 
@@ -978,6 +1083,82 @@ FROM documents""",
         "fingerprint": """
 SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
 FROM documents""",
+        # real-container decode: every field re-derived from doc_id
+        # (format by doc_id%3; BMP rows already 4-aligned since width
+        # is a multiple of 4, so n_bytes = 54 + 3wh; PPM dims pinned to
+        # 2 digits so the header is a fixed 13 bytes; WAV is the
+        # canonical 44-byte mono 16-bit header)
+        "multimodal_meta_real": """
+WITH p AS (
+  SELECT doc_id,
+         doc_id % 3 AS fmt,
+         16 + (doc_id % 8) * 4 AS bw, 16 + (doc_id % 6) * 4 AS bh,
+         10 + (doc_id % 40) AS pw, 10 + (doc_id % 30) AS ph,
+         100 + (doc_id % 50) AS nf
+  FROM documents
+)
+SELECT doc_id AS media_id,
+       CAST(CASE fmt WHEN 0 THEN 54 + 3 * bw * bh
+                     WHEN 1 THEN 13 + 3 * pw * ph
+                     ELSE 44 + 2 * nf END AS BIGINT) AS n_bytes,
+       CASE fmt
+         WHEN 0 THEN '424d'
+           || lpad(lower(hex((54 + 3 * bw * bh) % 256)), 2, '0')
+           || lpad(lower(hex(((54 + 3 * bw * bh) // 256) % 256)), 2, '0')
+         WHEN 1 THEN '50360a3' || CAST(pw // 10 AS VARCHAR)
+         ELSE '52494646' END AS magic,
+       CAST(CASE fmt WHEN 0 THEN bw WHEN 1 THEN pw ELSE NULL END AS INTEGER) AS width,
+       CAST(CASE fmt WHEN 0 THEN bh WHEN 1 THEN ph ELSE NULL END AS INTEGER) AS height,
+       CAST(CASE fmt WHEN 2 THEN nf ELSE 1 END AS INTEGER) AS n_frames
+FROM p""",
+        # §2 #12: the deprecated alias is plain extract_ips
+        "extract_all_ips_alias": f"""{texts}
+SELECT doc_id, coalesce(array_to_string({extract_base}, ','), '') AS ips_csv
+FROM texts""",
+        # §2 #17: namespace chain = is_valid + both round-trips
+        "namespace_chain": f"""{ips}
+SELECT rid,
+       CASE WHEN ip IS NULL THEN NULL
+            ELSE regexp_full_match(ip, '{valid_re}') END AS valid,
+       CASE WHEN ip IS NULL THEN NULL
+            WHEN regexp_full_match(ip, '{valid_re}') THEN lower(ip)
+            ELSE NULL END AS canonical,
+       CASE WHEN ip IS NOT NULL AND regexp_full_match(ip, '{_V4_RE_SQL}')
+            THEN ip ELSE NULL END AS quad
+FROM ips""",
+        # §2 #18: tags must survive the parquet cycle verbatim; typed
+        # storage re-renders to the canonical strings
+        "typed_parquet_roundtrip": f"""{ips}
+SELECT rid,
+       'ipv4' AS tag_ip4,
+       'ip_address' AS tag_addr,
+       CASE WHEN ip IS NOT NULL AND regexp_full_match(ip, '{_V4_RE_SQL}')
+            THEN ip ELSE NULL END AS quad,
+       CASE WHEN ip IS NULL THEN NULL
+            WHEN regexp_full_match(ip, '{valid_re}') THEN lower(ip)
+            ELSE NULL END AS canonical
+FROM ips""",
+        # §2 #16: stale column serves the v1 feed (tag 'one'), fresh
+        # column the v2 feed ('two'/'DC2'); null/invalid -> all-null
+        # struct, valid-not-found (incl. the v6 literal) -> defaults ''
+        "reload_mmdb": f"""{ips},
+cat AS (
+  SELECT rid,
+         CASE WHEN ip IS NULL THEN 'nul'
+              WHEN NOT regexp_full_match(ip, '{valid_re}') THEN 'nul'
+              -- sequential branches: the oct1 cast must only see
+              -- dotted-quad rows (DuckDB evaluates AND conjuncts
+              -- eagerly across the vector)
+              WHEN NOT regexp_full_match(ip, '{_V4_RE_SQL}') THEN 'none'
+              WHEN {oct1} = 5 THEN 'hit'
+              ELSE 'none' END AS c
+  FROM ips
+)
+SELECT rid,
+       CASE c WHEN 'nul' THEN NULL WHEN 'hit' THEN 'one' ELSE '' END AS tag_stale,
+       CASE c WHEN 'nul' THEN NULL WHEN 'hit' THEN 'two' ELSE '' END AS tag_fresh,
+       CASE c WHEN 'nul' THEN NULL WHEN 'hit' THEN 'DC2' ELSE '' END AS infra_fresh
+FROM cat""",
         "simhash_pairs": _pinned_values_sql(
             _SIMHASH_GOLDEN,
             [("doc_a", "BIGINT"), ("doc_b", "BIGINT"), ("hamming", "INTEGER")],
