@@ -357,7 +357,30 @@ def _broadcast_intervals(tables: tuple) -> object | None:
         return None
 
 
-def is_in(expr: Column | str, networks: Iterable[str]) -> Column:
+def _is_in_kernel(
+    s: pd.Series,
+    l4: np.ndarray,
+    h4: np.ndarray,
+    l6: np.ndarray,
+    h6: np.ndarray,
+) -> pd.Series:
+    """The batch membership kernel behind the is_in UDF — module-level
+    so the hypothesis property suite can pin it against stdlib
+    ``ipaddress`` without a SparkSession."""
+    keys, fam = _ipparse.pack_ip_series_with_family(s)
+    out = np.full(len(keys), None, dtype=object)
+    m4 = fam == 4
+    m6 = fam == 6
+    if m4.any():
+        out[m4] = _ipparse.membership(keys, m4, l4, h4)[m4]
+    if m6.any():
+        out[m6] = _ipparse.membership(keys, m6, l6, h6)[m6]
+    return pd.Series(out)
+
+
+def is_in(
+    expr: Column | str, networks: Iterable[str], _force_udf: bool = False
+) -> Column:
     """Membership of each IP in any of a set of IPv4/IPv6 CIDRs.
 
     null IP -> null, invalid IP -> null (NOT false), valid non-member ->
@@ -374,7 +397,9 @@ def is_in(expr: Column | str, networks: Iterable[str]) -> Column:
 
     # fast path: a small all-IPv4 set compiles to a pure-Catalyst range
     # disjunction over the numeric form — no Python worker at all
-    if not v6_iv and len(v4_iv) <= 64:
+    # (_force_udf is a test seam: the property suite asserts both
+    # branches agree on every input)
+    if not _force_udf and not v6_iv and len(v4_iv) <= 64:
         c = _col(expr)
         n = ipv4_to_numeric(c)
         member = F.lit(False)
@@ -397,15 +422,7 @@ def is_in(expr: Column | str, networks: Iterable[str]) -> Column:
     @F.pandas_udf(BooleanType())
     def _is_in_udf(s: pd.Series) -> pd.Series:
         l4, h4, l6, h6 = bc.value if bc is not None else tables
-        keys, fam = _ipparse.pack_ip_series_with_family(s)
-        out = np.full(len(keys), None, dtype=object)
-        m4 = fam == 4
-        m6 = fam == 6
-        if m4.any():
-            out[m4] = _ipparse.membership(keys, m4, l4, h4)[m4]
-        if m6.any():
-            out[m6] = _ipparse.membership(keys, m6, l6, h6)[m6]
-        return pd.Series(out)
+        return _is_in_kernel(s, l4, h4, l6, h6)
 
     return _is_in_udf(_col(expr))
 

@@ -80,6 +80,56 @@ def test_parse_v4_strict_equals_regex(vals):
             assert int(nums[i]) == expect, (v, nums[i], expect)
 
 
+# -- is_in: interval kernel vs stdlib ipaddress -------------------------
+
+_v4_cidr = st.builds(
+    lambda a, b, c, d, p: f"{a}.{b}.{c}.{d}/{p}",
+    _octet, _octet, _octet, _octet, st.integers(0, 32),
+)
+_v6_cidr = st.builds(
+    lambda v, p: f"{ipaddress.IPv6Address(v)}/{p}",
+    st.integers(0, (1 << 128) - 1),
+    st.integers(0, 128),
+)
+_mapped_text = st.builds(lambda a, b: f"::ffff:{a}.{b}.7.9", _octet, _octet)
+_member_probe = st.one_of(_v4, _v6, _mapped_text, _garbage, st.none())
+
+
+def _expected_member(s, v4_nets, v6_nets):
+    """Reference semantics via stdlib: null/invalid -> None; textual
+    family routes to that family's CIDR list only (a v4-mapped IPv6
+    STRING is a v6 address, /root/reference/src/iptools.rs:160-166)."""
+    if s is None:
+        return None
+    try:
+        addr = ipaddress.ip_address(s)
+    except ValueError:
+        return None
+    if addr.version == 4:
+        return any(addr in n for n in v4_nets)
+    return any(addr in n for n in v6_nets)
+
+
+@settings(max_examples=250, deadline=None)
+@given(
+    st.lists(st.one_of(_v4_cidr, _v6_cidr), min_size=1, max_size=12),
+    st.lists(_member_probe, max_size=25),
+)
+def test_is_in_kernel_matches_stdlib(cidrs, probes):
+    from polars_iptools_spark.functions import iptools
+
+    v4_iv, v6_iv = iptools._compile_networks(cidrs)
+    l4, h4 = _ipparse.sort_intervals(v4_iv)
+    l6, h6 = _ipparse.sort_intervals(v6_iv)
+    got = iptools._is_in_kernel(pd.Series(probes, dtype=object), l4, h4, l6, h6)
+    nets = [ipaddress.ip_network(c, strict=False) for c in cidrs]
+    v4_nets = [n for n in nets if n.version == 4]
+    v6_nets = [n for n in nets if n.version == 6]
+    for i, s in enumerate(probes):
+        exp = _expected_member(s, v4_nets, v6_nets)
+        assert got[i] == exp, (s, cidrs, got[i], exp)
+
+
 _word = st.text(
     st.characters(codec="utf-8", exclude_categories=("Cs",)), max_size=24
 )

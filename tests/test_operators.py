@@ -220,10 +220,18 @@ def test_multimodal_meta_schema_and_determinism(spark, docs):
     assert rows[0].sha256 == rows[2].sha256
 
 
-def test_multimodal_real_mode_is_stubbed(spark, docs):
-    media = multimodal.attach_fake_media(docs.limit(1), "doc_id", "text")
-    with pytest.raises(Exception, match="NotImplementedError|real media decode"):
-        multimodal.extract_media_meta(media, "doc_id", "media", decode_mode="real").collect()
+def test_multimodal_real_mode_decodes_stdlib_containers(spark, docs):
+    # round 4: decode_mode="real" is no longer a stub — fake payloads
+    # (sha256 hex bytes) are an UNKNOWN container, so the robust-scan
+    # contract yields null dims instead of raising; real containers are
+    # covered in tests/test_multimodal.py
+    media = multimodal.attach_fake_media(docs.limit(3), "doc_id", "text")
+    rows = multimodal.extract_media_meta(
+        media, "doc_id", "media", decode_mode="real"
+    ).collect()
+    assert len(rows) == 3
+    assert all(r.width is None and r.n_frames is None for r in rows)
+    assert all(r.n_bytes == 32 for r in rows)
 
 
 def test_frame_sampling(spark, docs):
