@@ -329,13 +329,24 @@ def simhash_pairs(
     max_hamming: int = 3,
     bands: int = 4,
     max_bucket_size: int | None = 2000,
+    persist_sigs: bool = True,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: band the 64-bit signature into
     ``bands`` segments (pigeonhole: hamming<=max_hamming implies at
     least one identical segment when bands > max_hamming), bucket-join
-    with the oversized-bucket guard, verify hamming with bit_count."""
+    with the oversized-bucket guard, verify hamming with bit_count.
+
+    The signature subtree feeds the banding explode AND both sides of
+    the verification join — three references; without a
+    materialization point Spark recomputes the whole scan+fold per
+    reference (same reason minhash_lsh_pairs persists its shingle
+    sets; measured ~3x the signature cost at bench SF)."""
     assert bands > max_hamming, "pigeonhole needs bands > max_hamming"
     sigs = simhash(df, id_col, text_col)
+    if persist_sigs:
+        from pyspark.storagelevel import StorageLevel
+
+        sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
     seg_bits = 64 // bands
     seg_array = F.array(
         *[
