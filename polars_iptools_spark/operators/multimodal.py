@@ -213,13 +213,17 @@ def sample_frames(
     every_n: int = 10,
     id_col: str = "media_id",
     media_col: str = "media",
+    decode_mode: str = "fake",
 ) -> DataFrame:
-    """Frame-sampling plumbing: fan a video binary out to one row per
-    sampled frame index (real decoder would attach frame bytes)."""
-    meta = extract_media_meta(df, id_col, media_col)
-    return meta.select(
+    """Frame-sampling plumbing: fan a media binary out to one row per
+    sampled frame index (a full decoder would attach frame bytes).
+    With ``decode_mode="real"`` undecodable rows have null ``n_frames``
+    and emit no frames (coalesced to 0 before the sequence)."""
+    meta = extract_media_meta(df, id_col, media_col, decode_mode=decode_mode)
+    nf = F.coalesce(F.col("n_frames"), F.lit(0))
+    return meta.where(nf > 0).select(
         "media_id",
         F.explode(
-            F.sequence(F.lit(0), F.greatest(F.col("n_frames") - 1, F.lit(0)), F.lit(every_n))
+            F.sequence(F.lit(0), F.greatest(nf - 1, F.lit(0)), F.lit(every_n))
         ).alias("frame_idx"),
     )

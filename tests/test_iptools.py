@@ -301,3 +301,23 @@ def test_extract_ignore_private(spark):
         "text",
         ip.extract_ips("text", ignore_private=True),
     ) == [["8.8.8.8", "127.0.0.1"]]
+
+
+def test_trailing_newline_is_invalid_across_all_ops(spark):
+    """ADVICE regression: '1.2.3.4\\n' must be invalid EVERYWHERE —
+    is_valid (Java regex, \\z anchor), the numeric conversion, the
+    strict typed parse and the UDF address path — no cross-op split."""
+    import polars_iptools_spark as ip
+
+    df = spark.createDataFrame([("1.2.3.4\n",), ("1.2.3.4",)], "ip string")
+    rows = df.select(
+        "ip",
+        ip.is_valid("ip").alias("valid"),
+        ip.ipv4_to_numeric("ip").alias("num"),
+        ip.to_string(ip.to_ipv4("ip")).alias("quad"),
+        ip.to_string(ip.to_address("ip")).alias("canon"),
+    ).collect()
+    by = {r.ip: r for r in rows}
+    bad, good = by["1.2.3.4\n"], by["1.2.3.4"]
+    assert not bad.valid and bad.num is None and bad.quad is None and bad.canon is None
+    assert good.valid and good.num == 16909060 and good.quad == "1.2.3.4"

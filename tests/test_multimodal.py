@@ -92,3 +92,29 @@ def test_fake_mode_unchanged(spark):
     media = mm.attach_fake_media(df, "doc_id", "text")
     out = mm.extract_media_meta(media, "doc_id", "media").collect()
     assert len(out) == 5 and all(r.n_bytes == 32 for r in out)
+
+
+def test_sample_frames_real_mode(spark):
+    df = spark.range(9).select(F.col("id").alias("doc_id"))
+    media = mm.attach_synthetic_media(df, "doc_id")
+    frames = mm.sample_frames(
+        media, every_n=25, id_col="doc_id", decode_mode="real"
+    ).collect()
+    got = {}
+    for r in frames:
+        got.setdefault(r.media_id, []).append(r.frame_idx)
+    for i in range(9):
+        if i % 3 == 2:  # wav: n_frames = 100 + i%50, sampled every 25
+            assert sorted(got[i]) == list(range(0, 100 + (i % 50), 25))
+        else:  # images: a single frame
+            assert sorted(got[i]) == [0]
+
+
+def test_sample_frames_real_mode_skips_undecodable(spark):
+    df = spark.range(4).select(
+        F.col("id").alias("doc_id"), F.lit("x").alias("text")
+    )
+    media = mm.attach_fake_media(df, "doc_id", "text")  # unknown container
+    assert (
+        mm.sample_frames(media, id_col="doc_id", decode_mode="real").count() == 0
+    )

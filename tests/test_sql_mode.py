@@ -129,3 +129,43 @@ def test_registered_enrichment_parity(spark):
     assert api == via_sql
     golden = {r.ip: r.a for r in via_sql}
     assert golden["67.43.156.1"] == "AS35908"
+
+
+def test_rewrite_lambdas_escaped_backslash_literal():
+    """ADVICE regression: a rendered literal ending in an escaped
+    backslash must still close the string (count preceding backslashes,
+    odd = escaped quote)."""
+    from polars_iptools_spark.sql import _rewrite_lambdas
+
+    assert (
+        _rewrite_lambdas(r"lambdafunction(concat(v, 'a\\'), v)")
+        == r"v -> concat(v, 'a\\')"
+    )
+    # escaped quote inside the literal still treated as content
+    assert (
+        _rewrite_lambdas(r"lambdafunction(concat(v, 'a\', b'), v)")
+        == r"v -> concat(v, 'a\', b')"
+    )
+    # nested + two-arg forms unaffected
+    assert (
+        _rewrite_lambdas("lambdafunction(x + y, x, y)") == "(x, y) -> x + y"
+    )
+
+
+def test_enrichment_registration_raises_on_explicit_bad_spur_dir(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE regression: an explicitly-requested Spur dir that lacks
+    spur.mmdb must raise, not silently skip the registration; the
+    genuinely-unconfigured case still registers geoip only."""
+    from polars_iptools_spark.sql import register_enrichment_sql_functions
+
+    maxmind = "/root/reference/tests/maxmind"
+    with pytest.raises(FileNotFoundError):
+        register_enrichment_sql_functions(
+            spark, geoip_dir=maxmind, spur_dir=str(tmp_path)
+        )
+    monkeypatch.delenv("SPUR_MMDB_DIR", raising=False)
+    names = register_enrichment_sql_functions(spark, geoip_dir=maxmind)
+    assert "pis_geoip_asn" in names and "pis_geoip_full" in names
+    assert not any("spur" in n for n in names)
