@@ -64,6 +64,12 @@ for CORES in "$N" "$N4"; do
       --ckpt "$WORK/ckpt_${CORES}_${REP}" \
       $([ "$TRUTH" = "1" ] && echo --truth "$WORK/truth.parquet") \
       --out "$WORK/result_${CORES}_${REP}.json" 2>/dev/null
+    # disk resilience (the sandbox fs is ~94G effective): drop the
+    # rep's checkpoint immediately — its result JSON is what counts —
+    # and archive that JSON outside the workdir so a later-rep crash
+    # (the EXIT trap wipes $WORK) cannot destroy completed evidence
+    rm -rf "$WORK/ckpt_${CORES}_${REP}"
+    cp "$WORK/result_${CORES}_${REP}.json" "BENCH/last_result_${CORES}_${REP}.json" 2>/dev/null || true
   done
 done
 
