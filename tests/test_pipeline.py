@@ -149,3 +149,41 @@ def test_read_corpus_seam(spark, corpus_truth, tmp_path):
 
     with _pt.raises(ValueError, match="missing columns"):
         read_corpus(spark, bad)
+
+
+def test_pipeline_ipv6_end_to_end(spark, tmp_path):
+    """run_pipeline(ipv6=True): v6 indicators flow through extraction,
+    /48-prefix blocking, scoring and closure — 8 entities each keyed by
+    a distinct global-unicast /48 must resolve to exactly 8 clusters of
+    3 with no cross-entity merges."""
+    from polars_iptools_spark.plans.pipeline import run_pipeline
+
+    rows = []
+    for e in range(8):
+        v6 = f"2606:4700:{e:x}::1"
+        for r in range(3):
+            rows.append(
+                (
+                    f"org/repo{e}",
+                    f"src/mod{e}/file{r}.py",
+                    f"c{e}_{r}",
+                    "py",
+                    f"conn {v6} seen in log",
+                )
+            )
+    corpus = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    )
+    res = run_pipeline(spark, corpus, str(tmp_path / "ck6"), ipv6=True)
+    clusters = res["clusters"].collect()
+    assert len(clusters) == 24
+    by_cluster = {}
+    for row in clusters:
+        by_cluster.setdefault(row.cluster_id, []).append(row.commit)
+    assert sorted(len(v) for v in by_cluster.values()) == [3] * 8
+    for members in by_cluster.values():
+        # all commits in a cluster belong to one entity (c{e}_{r})
+        assert len({c.split("_")[0] for c in members}) == 1
+    # the blocking key really used the /48 prefix, not token slicing
+    keys = {r.block_key for r in res["blocked"].select("block_key").collect()}
+    assert all("::/48|" in k for k in keys), keys
