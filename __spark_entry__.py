@@ -656,6 +656,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .agg(F.count(F.lit(1)).alias("n_clusters"))
         )
 
+    def q_pipeline_clusters_v6(spark, sf):
+        # the IPv6 path of the full pipeline under the driver gate:
+        # v6 indicators -> /48-prefix blocking -> scoring -> closure.
+        # 8 entities each keyed by a distinct global-unicast /48 must
+        # resolve to exactly 8 clusters of size 3 (the same histogram
+        # invariant as pipeline_clusters)
+        import tempfile
+
+        from polars_iptools_spark.plans.pipeline import run_pipeline
+
+        rows = []
+        for e in range(8):
+            v6 = f"2606:4700:{e:x}::1"
+            for r in range(3):
+                rows.append(
+                    (
+                        f"org/repo{e}",
+                        f"src/mod{e}/file{r}.py",
+                        f"c{e}_{r}",
+                        "py",
+                        f"conn {v6} seen in log",
+                    )
+                )
+        corpus = spark.createDataFrame(
+            rows,
+            "repo string, path string, commit string, lang string, content string",
+        )
+        res = run_pipeline(
+            spark, corpus, tempfile.mkdtemp(prefix="plc6_"), ipv6=True
+        )
+        return (
+            res["clusters"]
+            .groupBy("cluster_id")
+            .agg(F.count(F.lit(1)).alias("members"))
+            .groupBy("members")
+            .agg(F.count(F.lit(1)).alias("n_clusters"))
+        )
+
     def q_scoring(spark, sf):
         # jaro-winkler + levenshtein blend over derived string pairs
         d = spark.read.parquet(f"{sf}/documents.parquet")
@@ -880,6 +918,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "closure": q_closure,
         "block_stats": q_block_stats,
         "pipeline_clusters": q_pipeline_clusters,
+        "pipeline_clusters_v6": q_pipeline_clusters_v6,
         "scoring": q_scoring,
         "streaming_first_seen": q_streaming_first_seen,
         "streaming_windowed_counts": q_streaming_windowed_counts,
@@ -1274,6 +1313,9 @@ FROM b""",
         # records, pairwise F1 = 1.0): exactly 200 clusters of size 3
         "pipeline_clusters": """
 SELECT CAST(3 AS BIGINT) AS members, CAST(200 AS BIGINT) AS n_clusters""",
+        # IPv6-path invariant: 8 entities x 3 records, distinct /48s
+        "pipeline_clusters_v6": """
+SELECT CAST(3 AS BIGINT) AS members, CAST(8 AS BIGINT) AS n_clusters""",
         # the streaming first-seen feed over the full (single-batch)
         # stream must equal the batch min/count aggregation
         "streaming_first_seen": """
