@@ -152,6 +152,20 @@ def test_ngram_index_join_has_aqe_exempt_repartition(spark):
     assert pairs.count() >= 0  # and it still executes
 
 
+def test_simhash_pairs_persists_signature_subtree(spark):
+    """The signature fold feeds banding + both verify-join sides; the
+    persist must actually take effect so the scan+fold is computed once
+    (InMemoryTableScan present, and more than one consumer of it)."""
+    df = spark.createDataFrame(
+        [(i, f"words alpha beta {i}") for i in range(10)],
+        "doc_id long, text string",
+    )
+    pairs = dedup.simhash_pairs(df, "doc_id", "text", max_hamming=3, bands=4)
+    plan = plan_of(pairs)
+    assert plan.count("InMemoryTableScan") >= 2, plan[:400]
+    pairs.count()
+
+
 def test_minhash_hot_guard_has_no_collect_set(spark):
     """The hot-shingle skew guard must keep hot shingles distributed:
     no collect_set (single-row fold) anywhere in the physical plan."""
