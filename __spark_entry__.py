@@ -778,6 +778,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "hits",
         )
 
+    def q_streaming_events(spark, sf):
+        # third streaming entry, over the driver's REAL events table
+        # (timestamp_ntz column, whole-hour tumbling windows): the
+        # watermarked per-event-type window stats from an availableNow
+        # stream must equal the batch GROUP BY — integer aggregates
+        # (count, min/max id) so the comparison is bit-stable
+        import tempfile
+        import uuid
+
+        from polars_iptools_spark.streaming.enrich import windowed_event_stats
+
+        # watermarks require TIMESTAMP (LTZ); the table ships
+        # TIMESTAMP_NTZ — the cast keeps identical epochs in the UTC
+        # session
+        ev = spark.read.parquet(f"{sf}/events.parquet").select(
+            "event_id",
+            F.col("ts").cast("timestamp").alias("ts"),
+            "event_type",
+        )
+        src = tempfile.mkdtemp(prefix="pis_stream_ev_")
+        ev.coalesce(1).write.mode("overwrite").parquet(src)
+        stream = spark.readStream.schema(ev.schema).parquet(src)
+        qname = "q_ev_stats_" + uuid.uuid4().hex[:8]
+        q = (
+            windowed_event_stats(stream, window="1 hour", watermark="2 hours")
+            .writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.table(qname).select(
+            F.unix_timestamp("window_start").alias("ws"),
+            F.unix_timestamp("window_end").alias("we"),
+            "key",
+            "n",
+            "min_id",
+            "max_id",
+        )
+
     def q_multimodal_meta(spark, sf):
         # the payload-sha256 field stays pytest-covered (DuckDB cannot
         # hash BLOBs); the other 6 decoded fields are oracle-checked
@@ -922,6 +963,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scoring": q_scoring,
         "streaming_first_seen": q_streaming_first_seen,
         "streaming_windowed_counts": q_streaming_windowed_counts,
+        "streaming_events": q_streaming_events,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_meta_real": q_multimodal_meta_real,
         "extract_all_ips_alias": q_extract_all_ips_alias,
@@ -1338,6 +1380,19 @@ SELECT (ts // 60) * 60 AS ws,
        ip,
        count(*) AS hits
 FROM ev
+GROUP BY 1, 2, 3""",
+        # whole-hour tumbling windows over the real events table;
+        # unix_timestamp on TIMESTAMP_NTZ in a UTC session == floor of
+        # DuckDB's fractional epoch (window bounds are whole seconds,
+        # so the truncate-vs-round difference cannot bite)
+        "streaming_events": """
+SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS ws,
+       CAST(floor(epoch(ts) / 3600) * 3600 + 3600 AS BIGINT) AS we,
+       event_type AS key,
+       count(*) AS n,
+       min(event_id) AS min_id,
+       max(event_id) AS max_id
+FROM events
 GROUP BY 1, 2, 3""",
     }
 

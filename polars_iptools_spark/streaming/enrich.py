@@ -62,6 +62,37 @@ def windowed_indicator_counts(
     )
 
 
+def windowed_event_stats(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    id_col: str = "event_id",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """:func:`windowed_indicator_counts` generalized to any
+    (timestamp, key, id) event feed — watermarked tumbling-window
+    count plus min/max id per key (integer aggregates, so results are
+    bit-stable regardless of add order across partitions)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("win"), F.col(key_col).alias("key"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(id_col).alias("min_id"),
+            F.max(id_col).alias("max_id"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "key",
+            "n",
+            "min_id",
+            "max_id",
+        )
+    )
+
+
 def dedup_stream(
     stream: DataFrame, key_cols: list[str], ts_col: str, watermark: str = "10 minutes"
 ) -> DataFrame:

@@ -115,3 +115,42 @@ def test_first_seen_stateful(spark, tmp_path):
     rows = {r.ip: r for r in spark.table("first_seen").collect()}
     # each indicator appears exactly once despite the repeat in batch 2
     assert set(rows) == {"67.43.156.1", "8.8.8.8", "9.9.9.9"}
+
+
+def test_windowed_event_stats_equals_batch(spark, tmp_path):
+    """The generic (ts, key, id) windowed stats over an availableNow
+    stream must equal the batch GROUP BY on the same data."""
+    rows = [
+        (i, dt.datetime(2024, 1, 1, 0, 0, 0) + dt.timedelta(seconds=i * 700),
+         ["click", "view", "error"][i % 3])
+        for i in range(40)
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string")
+    src = str(tmp_path / "ev_src")
+    ev.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    q = (
+        se.windowed_event_stats(stream, window="1 hour", watermark="2 hours")
+        .writeStream.format("memory")
+        .queryName("ev_stats_t")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.window_start, r.key): (r.n, r.min_id, r.max_id)
+        for r in spark.table("ev_stats_t").collect()
+    }
+    batch = {
+        (r.ws, r.key): (r.n, r.min_id, r.max_id)
+        for r in ev.groupBy(
+            F.window("ts", "1 hour").start.alias("ws"),
+            F.col("event_type").alias("key"),
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("event_id").alias("min_id"),
+            F.max("event_id").alias("max_id"),
+        ).collect()
+    }
+    assert got == batch and len(got) >= 6
