@@ -230,6 +230,8 @@ def minhash_lsh_pairs(
         # sides of the bucket self-join and both sides of the
         # verification join — without a materialization point Spark
         # recomputes it per reference (measured 5x on large corpora)
+        # (retained until LRU eviction or session end — see the
+        # simhash_pairs docstring for the cache-retention contract)
         from pyspark.storagelevel import StorageLevel
 
         sets = sets.persist(StorageLevel.MEMORY_AND_DISK)
@@ -340,7 +342,16 @@ def simhash_pairs(
     the verification join — three references; without a
     materialization point Spark recomputes the whole scan+fold per
     reference (same reason minhash_lsh_pairs persists its shingle
-    sets; measured ~3x the signature cost at bench SF)."""
+    sets; measured ~3x the signature cost at bench SF).
+
+    Cache retention: the persisted signatures stay in Spark's
+    CacheManager until evicted (LRU) or the session ends — the handle
+    is internal to the returned lazy plan, so this function cannot
+    unpersist it after materialization.  Long-lived sessions invoking
+    this over many distinct corpora should pass ``persist_sigs=False``
+    (the recompute costs ~2x signature time) or manage storage via
+    ``spark.catalog.clearCache()`` between corpora; same contract as
+    ``minhash_lsh_pairs(persist_sets=...)``."""
     assert bands > max_hamming, "pigeonhole needs bands > max_hamming"
     sigs = simhash(df, id_col, text_col)
     if persist_sigs:

@@ -147,6 +147,17 @@ def _real_decode(media_id: int, payload: bytes) -> dict:
                 n_frames = data_size // block_align
     except (ValueError, IndexError, struct.error):
         width = height = n_frames = None
+
+    def _i32(v):
+        # a corrupt header can CLAIM any dimension (e.g. PPM
+        # 'P6\n99999999999 5\n...' or a WAV data chunk implying 4e9
+        # frames); values outside Int32 (or non-positive) must degrade
+        # to null here — otherwise the nullable-Int32 pin in
+        # extract_media_meta raises and kills the task, violating the
+        # robust-scan contract
+        return v if v is not None and 0 < v <= 0x7FFFFFFF else None
+
+    width, height, n_frames = _i32(width), _i32(height), _i32(n_frames)
     return {
         "media_id": media_id,
         "n_bytes": len(payload),

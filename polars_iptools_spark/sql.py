@@ -149,10 +149,13 @@ def register_enrichment_sql_functions(
         from .functions import spur as _spur
 
         regs[f"{prefix}spur_full"] = _spur.full_udf(db_dir=spur_dir)
-    except FileNotFoundError:
-        # suppress ONLY the genuinely-not-configured case; a caller who
-        # explicitly pointed at a Spur directory (argument or env var)
-        # gets the real error instead of a silent missing registration
+    except Exception:
+        # a caller who explicitly pointed at a Spur feed (argument or
+        # env var) gets the real error instead of a silent missing
+        # registration; when Spur was never configured, ANY failure —
+        # missing file OR a stale/corrupt spur.mmdb that happens to sit
+        # in a default GeoIP dir — must not abort the geoip
+        # registration the caller actually asked for
         if spur_dir is not None or "SPUR_MMDB_DIR" in _os.environ:
             raise
     for name, fn in regs.items():

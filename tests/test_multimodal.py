@@ -118,3 +118,36 @@ def test_sample_frames_real_mode_skips_undecodable(spark):
     assert (
         mm.sample_frames(media, id_col="doc_id", decode_mode="real").count() == 0
     )
+
+
+def test_real_decode_clamps_out_of_int32_claims(spark):
+    """Code-review regression: a corrupt header CLAIMING a dimension
+    outside Int32 must degrade that row to null fields, not blow up the
+    nullable-Int32 pin and kill the task."""
+    import struct
+
+    huge_ppm = b"P6\n99999999999 5\n255\n" + b"\x00" * 8
+    d = mm._real_decode(1, huge_ppm)
+    # only the out-of-range FIELD degrades; the parseable ones survive
+    assert d["width"] is None and d["height"] == 5 and d["n_frames"] == 1
+    huge_wav = (
+        b"RIFF" + struct.pack("<I", 36) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 8000, 1, 8)
+        + b"data" + struct.pack("<I", 0xFFFFFFF0)
+    )
+    d = mm._real_decode(2, huge_wav)
+    assert d["n_frames"] is None
+    # and end-to-end through the Int32 pin
+    df = spark.createDataFrame(
+        [(1, bytearray(huge_ppm)), (2, bytearray(huge_wav))],
+        "media_id long, media binary",
+    )
+    rows = {
+        r.media_id: r
+        for r in mm.extract_media_meta(
+            df, "media_id", "media", decode_mode="real"
+        ).collect()
+    }
+    assert len(rows) == 2
+    assert rows[1].width is None and rows[1].height == 5
+    assert rows[2].n_frames is None
