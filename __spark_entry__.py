@@ -35,6 +35,52 @@ from pyspark.sql import functions as F
 MAXMIND_TEST_DIR = "/root/reference/tests/maxmind"
 
 # ---------------------------------------------------------------------------
+# executor import robustness
+# ---------------------------------------------------------------------------
+# The driver-side sys.path insert above does NOT propagate to executor
+# Python workers: they resolve imports from their own cwd/PYTHONPATH,
+# so a harness that launches the session from any cwd other than
+# /root/repo would fail to unpickle our Arrow UDFs
+# (ModuleNotFoundError: polars_iptools_spark).  Ship the package to
+# executors once per application via addPyFile (a ~100 KB zip of pure
+# Python; zipimport makes it importable on every worker).
+
+_SHIPPED: set[str] = set()
+
+
+def _ensure_importable(spark: SparkSession) -> None:
+    try:
+        sc = spark.sparkContext
+        key = sc.applicationId
+    except Exception:
+        return  # Spark Connect: files ship via the session's artifacts
+    if key in _SHIPPED:
+        return
+    import shutil
+    import tempfile
+
+    import polars_iptools_spark as _pkg
+
+    pkg_dir = os.path.dirname(os.path.abspath(_pkg.__file__))
+    base = os.path.join(
+        tempfile.gettempdir(), f"pis_pkg_{os.getpid()}_{len(_SHIPPED)}"
+    )
+    zip_path = shutil.make_archive(
+        base, "zip", root_dir=os.path.dirname(pkg_dir),
+        base_dir="polars_iptools_spark",
+    )
+    sc.addPyFile(zip_path)
+    _SHIPPED.add(key)
+
+
+def _with_ship(fn):
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _ensure_importable(spark)
+        return fn(spark, sf_dir)
+
+    return wrapped
+
+# ---------------------------------------------------------------------------
 # shared deterministic input derivations (Spark side)
 # ---------------------------------------------------------------------------
 
@@ -371,6 +417,7 @@ def entry(spark: SparkSession) -> DataFrame:
     geoip-enrich (reference test MMDBs) -> per-ASN rollup."""
     import polars_iptools_spark as ip
 
+    _ensure_importable(spark)
     texts = _derived_texts(spark, "/root/testdata/sf0.001")
     return (
         texts.withColumn("ips", ip.extract_public_ips("itext"))
@@ -928,7 +975,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             col_fresh["infrastructure"].alias("infra_fresh"),
         )
 
-    return {
+    raw = {
         "is_valid": q_is_valid,
         "is_private": q_is_private,
         "ipv4_to_numeric": q_ipv4_to_numeric,
@@ -971,6 +1018,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "typed_parquet_roundtrip": q_typed_parquet_roundtrip,
         "reload_mmdb": q_reload_mmdb,
     }
+    return {k: _with_ship(fn) for k, fn in raw.items()}
 
 
 def oracle_sql() -> dict[str, str]:
