@@ -12,6 +12,7 @@ only = sys.argv[2:] if len(sys.argv) > 2 else None
 
 spark = get_spark(master="local[16]", shuffle_partitions=16)
 spark.sparkContext.setLogLevel("ERROR")
+E._ensure_importable(spark)  # executor imports independent of launch cwd
 con = duckdb.connect()
 for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")

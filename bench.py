@@ -50,6 +50,8 @@ def main() -> None:
         extra_conf={"spark.ui.enabled": "false"},
     )
     spark.sparkContext.setLogLevel("ERROR")
+    # executors must import the package regardless of the launch cwd
+    entrymod._ensure_importable(spark)
 
     li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").cache()
     li.count()
