@@ -45,17 +45,10 @@ MAXMIND_TEST_DIR = "/root/reference/tests/maxmind"
 # executors once per application via addPyFile (a ~100 KB zip of pure
 # Python; zipimport makes it importable on every worker).
 
-_SHIPPED: set[str] = set()
+_SHIPPED: set = set()
 
 
-def _ensure_importable(spark: SparkSession) -> None:
-    try:
-        sc = spark.sparkContext
-        key = sc.applicationId
-    except Exception:
-        return  # Spark Connect: files ship via the session's artifacts
-    if key in _SHIPPED:
-        return
+def _pkg_zip() -> str:
     import shutil
     import tempfile
 
@@ -65,15 +58,47 @@ def _ensure_importable(spark: SparkSession) -> None:
     base = os.path.join(
         tempfile.gettempdir(), f"pis_pkg_{os.getpid()}_{len(_SHIPPED)}"
     )
-    zip_path = shutil.make_archive(
+    return shutil.make_archive(
         base, "zip", root_dir=os.path.dirname(pkg_dir),
         base_dir="polars_iptools_spark",
     )
-    sc.addPyFile(zip_path)
+
+
+def _ensure_importable(spark: SparkSession) -> None:
+    try:
+        sc = spark.sparkContext
+        key = sc.applicationId
+    except Exception:
+        sc, key = None, ("connect", id(spark))
+    if key in _SHIPPED:
+        return
+    zip_path = _pkg_zip()
+    # the source zip must OUTLIVE the application: local-mode executors
+    # re-fetch addPyFile sources from the ORIGINAL path at task launch
+    # and verify contents against it (deleting it immediately fails
+    # tasks with 'does not match contents') — so cleanup happens at
+    # interpreter exit, not here
+    import atexit
+
+    atexit.register(lambda p=zip_path: os.path.exists(p) and os.remove(p))
+    if sc is not None:
+        sc.addPyFile(zip_path)
+    else:
+        # Spark Connect: the artifact API is the Connect-side analog
+        # of addPyFile; if the server rejects artifacts, degrade to
+        # relying on cluster-side PYTHONPATH rather than failing the
+        # query here
+        try:
+            spark.addArtifacts(zip_path, pyfile=True)
+        except Exception:
+            return
     _SHIPPED.add(key)
 
 
 def _with_ship(fn):
+    import functools
+
+    @functools.wraps(fn)
     def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ensure_importable(spark)
         return fn(spark, sf_dir)

@@ -148,16 +148,19 @@ def _real_decode(media_id: int, payload: bytes) -> dict:
     except (ValueError, IndexError, struct.error):
         width = height = n_frames = None
 
-    def _i32(v):
+    def _i32(v, min_ok):
         # a corrupt header can CLAIM any dimension (e.g. PPM
         # 'P6\n99999999999 5\n...' or a WAV data chunk implying 4e9
-        # frames); values outside Int32 (or non-positive) must degrade
-        # to null here — otherwise the nullable-Int32 pin in
-        # extract_media_meta raises and kills the task, violating the
-        # robust-scan contract
-        return v if v is not None and 0 < v <= 0x7FFFFFFF else None
+        # frames); values outside Int32 must degrade to null here —
+        # otherwise the nullable-Int32 pin in extract_media_meta
+        # raises and kills the task, violating the robust-scan
+        # contract.  min_ok: a 0-dimension image is junk (null), but a
+        # well-formed WAV with an empty data chunk is legitimately
+        # n_frames=0.
+        return v if v is not None and min_ok <= v <= 0x7FFFFFFF else None
 
-    width, height, n_frames = _i32(width), _i32(height), _i32(n_frames)
+    width, height = _i32(width, 1), _i32(height, 1)
+    n_frames = _i32(n_frames, 0)
     return {
         "media_id": media_id,
         "n_bytes": len(payload),

@@ -149,15 +149,27 @@ def register_enrichment_sql_functions(
         from .functions import spur as _spur
 
         regs[f"{prefix}spur_full"] = _spur.full_udf(db_dir=spur_dir)
-    except Exception:
+    except Exception as exc:
         # a caller who explicitly pointed at a Spur feed (argument or
         # env var) gets the real error instead of a silent missing
         # registration; when Spur was never configured, ANY failure —
         # missing file OR a stale/corrupt spur.mmdb that happens to sit
         # in a default GeoIP dir — must not abort the geoip
-        # registration the caller actually asked for
+        # registration the caller actually asked for.  The suppression
+        # is NOT silent: a warning carries the root cause so a user who
+        # expected pis_spur_full isn't left with a bare
+        # 'undefined function' later.
         if spur_dir is not None or "SPUR_MMDB_DIR" in _os.environ:
             raise
+        if not isinstance(exc, FileNotFoundError):
+            import warnings
+
+            warnings.warn(
+                f"Spur feed found via a default directory but failed to "
+                f"load; skipping {prefix}spur_full registration: {exc!r}",
+                RuntimeWarning,
+                stacklevel=2,
+            )
     for name, fn in regs.items():
         spark.udf.register(name, fn)
     return list(regs)

@@ -169,3 +169,25 @@ def test_enrichment_registration_raises_on_explicit_bad_spur_dir(
     names = register_enrichment_sql_functions(spark, geoip_dir=maxmind)
     assert "pis_geoip_asn" in names and "pis_geoip_full" in names
     assert not any("spur" in n for n in names)
+
+
+def test_enrichment_registration_warns_on_corrupt_default_spur(
+    spark, tmp_path, monkeypatch
+):
+    """Unconfigured-but-corrupt default-dir spur.mmdb: geoip still
+    registers, spur is skipped WITH a warning carrying the root cause."""
+    import warnings
+
+    from polars_iptools_spark.functions import _enrich
+    from polars_iptools_spark.sql import register_enrichment_sql_functions
+
+    (tmp_path / "spur.mmdb").write_bytes(b"not an mmdb at all")
+    monkeypatch.delenv("SPUR_MMDB_DIR", raising=False)
+    monkeypatch.setattr(_enrich, "DEFAULT_MMDB_PATHS", [str(tmp_path)])
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        names = register_enrichment_sql_functions(
+            spark, geoip_dir="/root/reference/tests/maxmind"
+        )
+    assert "pis_geoip_full" in names and not any("spur" in n for n in names)
+    assert any("spur_full registration" in str(x.message) for x in w)
