@@ -69,7 +69,7 @@ for CORES in "$N" "$N4"; do
     # and archive that JSON outside the workdir so a later-rep crash
     # (the EXIT trap wipes $WORK) cannot destroy completed evidence
     rm -rf "$WORK/ckpt_${CORES}_${REP}"
-    cp "$WORK/result_${CORES}_${REP}.json" "BENCH/last_result_${CORES}_${REP}.json" 2>/dev/null || true
+    cp "$WORK/result_${CORES}_${REP}.json" "$(dirname "$0")/last_result_${CORES}_${REP}.json" 2>/dev/null || true
   done
 done
 

@@ -69,8 +69,14 @@ def _ensure_importable(spark: SparkSession) -> None:
         sc = spark.sparkContext
         key = sc.applicationId
     except Exception:
-        sc, key = None, ("connect", id(spark))
-    if key in _SHIPPED:
+        # Spark Connect: key by a sentinel attribute ON the session
+        # object, not id(spark) — id() values are recycled after GC, so
+        # a later distinct session could be wrongly treated as already
+        # shipped and skip addArtifacts
+        sc, key = None, None
+        if getattr(spark, "_pis_pkg_shipped", False):
+            return
+    if key is not None and key in _SHIPPED:
         return
     zip_path = _pkg_zip()
     # the source zip must OUTLIVE the application: local-mode executors
@@ -92,6 +98,11 @@ def _ensure_importable(spark: SparkSession) -> None:
             spark.addArtifacts(zip_path, pyfile=True)
         except Exception:
             return
+        try:
+            spark._pis_pkg_shipped = True
+        except Exception:
+            pass
+        return
     _SHIPPED.add(key)
 
 

@@ -20,6 +20,53 @@ from pyspark.sql import functions as F
 from ..functions._par import ensure_parallelism
 
 
+class CacheScope:
+    """Owner-scoped release for the intermediate frames this module
+    persists (minhash shingle sets, simhash signatures).
+
+    The persisted handles are internal to the returned lazy plans, so
+    the pair functions cannot unpersist them after materialization —
+    without a scope they stay in Spark's CacheManager until LRU
+    eviction or session end.  Batch drivers processing many corpora in
+    one session pass a scope and release it once the result is
+    materialized::
+
+        with CacheScope() as caches:
+            simhash_pairs(df, "id", "text", caches=caches).write.parquet(p)
+        # persisted signature blocks freed here
+
+    Mirrors ``plans/pipeline.py``'s ``_to_unpersist`` pattern.
+    """
+
+    def __init__(self) -> None:
+        self._frames: list[DataFrame] = []
+
+    def add(self, df: DataFrame) -> DataFrame:
+        self._frames.append(df)
+        return df
+
+    def release(self) -> None:
+        for f in self._frames:
+            try:
+                f.unpersist()
+            except Exception:
+                pass
+        self._frames.clear()
+
+    def __enter__(self) -> "CacheScope":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.release()
+
+
+def _persist(df: DataFrame, caches: "CacheScope | None") -> DataFrame:
+    from pyspark.storagelevel import StorageLevel
+
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    return caches.add(df) if caches is not None else df
+
+
 def normalized(text: Column) -> Column:
     """Whitespace-collapsed lowercase text (shared by fingerprints)."""
     return F.regexp_replace(F.trim(F.lower(text)), r"\s+", " ")
@@ -91,7 +138,12 @@ def ngram_jaccard_pairs(
     # bytes — without this the pair blow-up serializes onto a handful
     # of tasks (same reason as blocking.candidate_pairs; user
     # repartitions are exempt from AQE coalescing)
-    parts = max(df.sparkSession.sparkContext.defaultParallelism * 2, 8)
+    try:
+        parts = max(df.sparkSession.sparkContext.defaultParallelism * 2, 8)
+    except Exception:
+        # Spark Connect has no sparkContext — fall back to a fixed
+        # fan-out (same contract as functions/_par.ensure_parallelism)
+        parts = 16
     idx = idx.repartition(parts, "sh")
     a = idx.select(F.col("doc").alias("doc_a"), "sh")
     b = idx.select(F.col("doc").alias("doc_b"), "sh")
@@ -198,9 +250,14 @@ def minhash_lsh_pairs(
     max_shingle_freq: int | None = 1000,
     max_bucket_size: int | None = 2000,
     persist_sets: bool = True,
+    caches: CacheScope | None = None,
 ) -> DataFrame:
     """MinHash + banded LSH candidate generation, then exact Jaccard
     verification of candidates only (shingle→minhash→band→bucket-join).
+
+    ``caches``: optional :class:`CacheScope` that takes ownership of the
+    persisted shingle-set frame so the caller can free storage after
+    materialization (see the class docstring).
     """
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
@@ -230,11 +287,9 @@ def minhash_lsh_pairs(
         # sides of the bucket self-join and both sides of the
         # verification join — without a materialization point Spark
         # recomputes it per reference (measured 5x on large corpora)
-        # (retained until LRU eviction or session end — see the
-        # simhash_pairs docstring for the cache-retention contract)
-        from pyspark.storagelevel import StorageLevel
-
-        sets = sets.persist(StorageLevel.MEMORY_AND_DISK)
+        # (retained until LRU eviction, session end, or CacheScope
+        # release — see the simhash_pairs docstring for the contract)
+        sets = _persist(sets, caches)
     sigs = sets.select(
         "doc", "shs", _minhash_sig_array(F.col("shs"), num_hashes).alias("_sig")
     )
@@ -332,6 +387,7 @@ def simhash_pairs(
     bands: int = 4,
     max_bucket_size: int | None = 2000,
     persist_sigs: bool = True,
+    caches: CacheScope | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: band the 64-bit signature into
     ``bands`` segments (pigeonhole: hamming<=max_hamming implies at
@@ -348,16 +404,15 @@ def simhash_pairs(
     CacheManager until evicted (LRU) or the session ends — the handle
     is internal to the returned lazy plan, so this function cannot
     unpersist it after materialization.  Long-lived sessions invoking
-    this over many distinct corpora should pass ``persist_sigs=False``
-    (the recompute costs ~2x signature time) or manage storage via
-    ``spark.catalog.clearCache()`` between corpora; same contract as
-    ``minhash_lsh_pairs(persist_sets=...)``."""
+    this over many distinct corpora should pass a :class:`CacheScope`
+    as ``caches`` (released after materialization), pass
+    ``persist_sigs=False`` (the recompute costs ~2x signature time), or
+    manage storage via ``spark.catalog.clearCache()`` between corpora;
+    same contract as ``minhash_lsh_pairs(persist_sets=...)``."""
     assert bands > max_hamming, "pigeonhole needs bands > max_hamming"
     sigs = simhash(df, id_col, text_col)
     if persist_sigs:
-        from pyspark.storagelevel import StorageLevel
-
-        sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
+        sigs = _persist(sigs, caches)
     seg_bits = 64 // bands
     seg_array = F.array(
         *[

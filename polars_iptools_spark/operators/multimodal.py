@@ -161,6 +161,13 @@ def _real_decode(media_id: int, payload: bytes) -> dict:
 
     width, height = _i32(width, 1), _i32(height, 1)
     n_frames = _i32(n_frames, 0)
+    if payload[:2] in (b"BM", b"P6") and (width is None or height is None):
+        # image container whose claimed dimensions were junk: the whole
+        # decode is untrustworthy, so null n_frames too — otherwise
+        # sample_frames would emit frame 0 for an undecodable image,
+        # violating the 'undecodable rows emit no frames' contract
+        # (per-field zero/null semantics remain for the audio branch)
+        n_frames = None
     return {
         "media_id": media_id,
         "n_bytes": len(payload),

@@ -128,8 +128,11 @@ def test_real_decode_clamps_out_of_int32_claims(spark):
 
     huge_ppm = b"P6\n99999999999 5\n255\n" + b"\x00" * 8
     d = mm._real_decode(1, huge_ppm)
-    # only the out-of-range FIELD degrades; the parseable ones survive
-    assert d["width"] is None and d["height"] == 5 and d["n_frames"] == 1
+    # the out-of-range dimension degrades; the parseable one survives —
+    # but n_frames nulls too for an image whose dims were junk, so
+    # sample_frames never emits frame 0 for an undecodable image
+    # (review follow-up to the per-field r4 semantics)
+    assert d["width"] is None and d["height"] == 5 and d["n_frames"] is None
     huge_wav = (
         b"RIFF" + struct.pack("<I", 36) + b"WAVE"
         + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 8000, 1, 8)
@@ -150,4 +153,5 @@ def test_real_decode_clamps_out_of_int32_claims(spark):
     }
     assert len(rows) == 2
     assert rows[1].width is None and rows[1].height == 5
+    assert rows[1].n_frames is None
     assert rows[2].n_frames is None

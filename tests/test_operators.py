@@ -88,6 +88,28 @@ def test_simhash_pairs(spark, docs):
     assert pairs[(0, 2)] == 0
 
 
+def test_cache_scope_releases_dedup_storage(spark, docs):
+    """CacheScope frees the persisted signature/shingle-set blocks after
+    materialization (owner-scoped release instead of leak-until-LRR)."""
+    with dedup.CacheScope() as caches:
+        pairs = dedup.simhash_pairs(
+            docs, "doc_id", "text", max_hamming=10, bands=16, caches=caches
+        )
+        lsh = dedup.minhash_lsh_pairs(
+            docs, "doc_id", "text", num_hashes=32, bands=16, caches=caches
+        )
+        assert {(r.doc_a, r.doc_b) for r in pairs.collect()} >= {(0, 2)}
+        assert {(r.doc_a, r.doc_b) for r in lsh.collect()} >= {(0, 2)}
+        handles = list(caches._frames)
+        assert len(handles) == 2
+        assert all(h.storageLevel.useMemory for h in handles)
+    # scope exit unpersisted every registered frame
+    assert not caches._frames
+    assert all(not h.storageLevel.useMemory for h in handles)
+    # results computed through a released scope stay correct
+    assert (0, 2) in {(r.doc_a, r.doc_b) for r in pairs.collect()}
+
+
 def test_brute_force_topk_matches_numpy(spark):
     rng = np.random.default_rng(11)
     vecs = rng.standard_normal((40, 8)).astype(np.float32)
