@@ -609,7 +609,29 @@ def extract_ips(
         udf = _extract_udf_v6(
             only_public, ignore_private, ignore_loopback, ignore_broadcast
         )
-        return udf(c)
+        # Native prefilter: a row whose refanged text contains neither
+        # ':' nor '[' cannot produce a v6 match NOR a bracketed-scan
+        # match (the scanner's v6 alternative needs a colon; its
+        # bracket alternative needs '['; with both absent the full
+        # scan reduces exactly to the strict-quad v4 alternative,
+        # which is what the JVM-native ipv6=False path computes).
+        # Those rows take the native path, and the UDF receives NULL
+        # instead of the text — Spark still runs the ArrowEvalPython
+        # node over every row, but masked rows cross as nulls, so
+        # v6-free batches pay neither serialization nor Python regex.
+        # The gate probes the v6-refanged text so defanged '[:]'/'(:)'
+        # markers correctly route to the scanner.
+        rt = _refang(c, v6=True)
+        needs_py = rt.contains(":") | rt.contains("[")
+        native = extract_ips(
+            c,
+            ipv6=False,
+            only_public=only_public,
+            ignore_private=ignore_private,
+            ignore_loopback=ignore_loopback,
+            ignore_broadcast=ignore_broadcast,
+        )
+        return F.when(needs_py, udf(F.when(needs_py, c))).otherwise(native)
     refanged = _refang(c, v6=False)
     arr = F.regexp_extract_all(refanged, F.lit(_V4_CAND), 1)
     if only_public or ignore_private or ignore_loopback or ignore_broadcast:

@@ -187,14 +187,167 @@ class MMDBFile:
             return int.from_bytes(buf[base : base + 4], "big")
         raise MMDBError(f"unsupported record size {rs}")
 
+    def _tree_records(self) -> np.ndarray:
+        """Decode the whole search-tree section into an (node_count, 2)
+        uint32 array of [left, right] record values — vectorized for all
+        three spec record sizes.  A production GeoLite2-City has ~3.5M
+        nodes; per-node Python decoding of the tree is the decode-wall
+        bottleneck at that scale."""
+        nc, rs = self.node_count, self.record_size
+        raw = np.frombuffer(self._buf, dtype=np.uint8, count=self.tree_size)
+        if rs == 32:
+            return (
+                np.frombuffer(self._buf, dtype=">u4", count=nc * 2)
+                .reshape(nc, 2)
+                .astype(np.uint32)
+            )
+        if rs == 24:
+            b = raw.reshape(nc, 6).astype(np.uint32)
+            left = (b[:, 0] << 16) | (b[:, 1] << 8) | b[:, 2]
+            right = (b[:, 3] << 16) | (b[:, 4] << 8) | b[:, 5]
+            return np.stack([left, right], axis=1)
+        if rs == 28:
+            b = raw.reshape(nc, 7).astype(np.uint32)
+            left = ((b[:, 3] & 0xF0) << 20) | (b[:, 0] << 16) | (b[:, 1] << 8) | b[:, 2]
+            right = ((b[:, 3] & 0x0F) << 24) | (b[:, 4] << 16) | (b[:, 5] << 8) | b[:, 6]
+            return np.stack([left, right], axis=1)
+        raise MMDBError(f"unsupported record size {rs}")
+
     def enumerate_intervals(self) -> IntervalTable:
-        """DFS the search tree into disjoint leaf intervals.
+        """Enumerate the search tree into disjoint leaf intervals with a
+        vectorized level-order (BFS) walk: one numpy gather per tree
+        level instead of one Python iteration per node.  At production
+        DB scale (~3.5M networks / ~7M nodes) the per-node DFS
+        (:meth:`_enumerate_intervals_py`, kept for property
+        cross-checks) pays ~30x more wall on the same input.
 
         Equivalent to longest-prefix match because tree leaves are
         disjoint by construction; aliased subtrees (e.g. ::ffff:0:0/96
         in GeoLite2) are simply traversed once per alias, yielding
         duplicate records at different ranges — harmless and exact.
         """
+        bits = 128 if self.ip_version == 6 else 32
+        nc = self.node_count
+        tree = self._tree_records()
+        # per-level frontier: node ids + 128-bit prefixes as two uint64
+        # limbs (numpy has no uint128)
+        nodes = np.array([0], dtype=np.int64)
+        pref_hi = np.zeros(1, dtype=np.uint64)
+        pref_lo = np.zeros(1, dtype=np.uint64)
+        leaf_hi: list[np.ndarray] = []
+        leaf_lo: list[np.ndarray] = []
+        leaf_off: list[np.ndarray] = []
+        leaf_depth: list[int] = []
+        for depth in range(bits):
+            if not len(nodes):
+                break
+            recs = tree[nodes]  # (k, 2)
+            bitpos = bits - depth - 1
+            for side in (0, 1):
+                rec = recs[:, side].astype(np.int64)
+                if side == 0:
+                    chi, clo = pref_hi, pref_lo
+                else:
+                    if bits == 128 and bitpos >= 64:
+                        chi = pref_hi | np.uint64(1 << (bitpos - 64))
+                        clo = pref_lo
+                    else:
+                        chi = pref_hi
+                        clo = pref_lo | np.uint64(1 << bitpos)
+                is_data = rec > nc
+                if is_data.any():
+                    leaf_hi.append(chi[is_data])
+                    leaf_lo.append(clo[is_data])
+                    leaf_off.append(rec[is_data] - nc - 16)
+                    leaf_depth.append(depth + 1)
+                is_node = rec < nc
+                if side == 0:
+                    l_nodes, l_hi, l_lo = rec[is_node], chi[is_node], clo[is_node]
+                else:
+                    r_nodes, r_hi, r_lo = rec[is_node], chi[is_node], clo[is_node]
+            nodes = np.concatenate([l_nodes, r_nodes])
+            pref_hi = np.concatenate([l_hi, r_hi])
+            pref_lo = np.concatenate([l_lo, r_lo])
+        return self._assemble_intervals(bits, leaf_hi, leaf_lo, leaf_off, leaf_depth)
+
+    def _assemble_intervals(
+        self,
+        bits: int,
+        leaf_hi: list[np.ndarray],
+        leaf_lo: list[np.ndarray],
+        leaf_off: list[np.ndarray],
+        leaf_depth: list[int],
+    ) -> IntervalTable:
+        """Leaf (prefix, depth, data offset) batches -> sorted
+        IntervalTable, decoding each distinct data offset exactly once."""
+        if not leaf_off:
+            return IntervalTable(
+                np.empty(0, dtype="|S16"),
+                np.empty(0, dtype="|S16"),
+                np.empty(0, dtype=np.int64),
+                [],
+            )
+        lo_hi = np.concatenate(leaf_hi)
+        lo_lo = np.concatenate(leaf_lo)
+        offs = np.concatenate(leaf_off)
+        depths = np.concatenate(
+            [
+                np.full(len(o), d, dtype=np.int64)
+                for o, d in zip(leaf_off, leaf_depth)
+            ]
+        )
+        if bits == 32:
+            # v4-only tree: shift prefixes into v4-mapped space; the
+            # 32-bit prefix currently sits in the LOW limb's low bits
+            lo_lo = lo_lo | np.uint64(0xFFFF00000000)
+            depths = depths + 96
+        # hi bound = prefix | host-mask; prefixes are aligned, so OR
+        # per-limb needs no carries
+        span_bits = 128 - depths
+        # np.where evaluates both branches, so shifts must stay < 64
+        # even on the branch that is discarded
+        low_shift = np.clip(span_bits, 0, 63).astype(np.uint64)
+        mask_lo = np.where(
+            span_bits >= 64,
+            np.uint64(0xFFFFFFFFFFFFFFFF),
+            (np.uint64(1) << low_shift) - np.uint64(1),
+        ).astype(np.uint64)
+        over = np.clip(span_bits - 64, 0, 63).astype(np.uint64)
+        mask_hi = np.where(
+            span_bits > 64,
+            (np.uint64(1) << over) - np.uint64(1),
+            np.uint64(0),
+        ).astype(np.uint64)
+        hi_hi = lo_hi | mask_hi
+        hi_lo = lo_lo | mask_lo
+
+        # decode each distinct data offset once
+        uniq, inv = np.unique(offs, return_inverse=True)
+        records = []
+        for off in uniq:
+            value, _ = _decode_value(
+                self._buf, self.data_start + int(off), self.data_start
+            )
+            records.append(value)
+
+        def _to_s16(hi: np.ndarray, lo: np.ndarray) -> np.ndarray:
+            # two big-endian u64 limbs laid out adjacently ARE the
+            # 16-byte big-endian key
+            pair = np.empty((len(hi), 2), dtype=">u8")
+            pair[:, 0] = hi
+            pair[:, 1] = lo
+            return pair.view("|S16").reshape(len(hi))
+
+        lo_arr = _to_s16(lo_hi, lo_lo)
+        hi_arr = _to_s16(hi_hi, hi_lo)
+        order = np.lexsort((lo_lo, lo_hi))
+        return IntervalTable(
+            lo_arr[order], hi_arr[order], inv.astype(np.int64)[order], records
+        )
+
+    def _enumerate_intervals_py(self) -> IntervalTable:
+        """Reference per-node DFS enumeration (kept for property
+        cross-checks against the vectorized walk)."""
         bits = 128 if self.ip_version == 6 else 32
         nc = self.node_count
         intervals: list[tuple[int, int, int]] = []

@@ -1,0 +1,132 @@
+"""Production-shaped MMDB evidence at pytest scale: a synthesized
+GeoLite2-City/ASN pair with >=100k networks driven END TO END through
+the Spark enrichment path, spot-checked against the synthesizer's
+arithmetic oracle and stdlib ``ipaddress`` containment.
+
+(The full 1.9M-network stress with decode wall / broadcast size /
+throughput lives in BENCH/mmdb_scale.py; this test keeps the same
+machinery permanently green at a CI-sized 120k networks.)
+"""
+
+import ipaddress
+
+import numpy as np
+import pytest
+
+from polars_iptools_spark.sources import mmdb_synth
+from polars_iptools_spark.sources.mmdb import MMDBFile
+
+N_CITY, N_CITY_REC = 120_000, 9_000
+N_ASN, N_ASN_REC = 30_000, 5_000
+
+
+@pytest.fixture(scope="module")
+def synth_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("mmdb_scale")
+    mmdb_synth.write_synthetic_geolite(
+        d,
+        n_city_networks=N_CITY,
+        n_city_records=N_CITY_REC,
+        n_asn_networks=N_ASN,
+        n_asn_records=N_ASN_REC,
+    )
+    return d
+
+
+def _sample_addrs(n_networks, step=977 * 4096):
+    # stay inside the covered address space (avg 2048 addrs/network
+    # under the //4 bound used by the stress script)
+    return list(range(4096, n_networks * 8192 // 4, step))
+
+
+def test_tiling_matches_stdlib_ipaddress(synth_dir):
+    """The arithmetic oracle's (address -> network) math agrees with
+    stdlib containment for sampled networks of every prefix length."""
+    sampled = {}
+    for i, cidr in mmdb_synth._iter_networks(N_CITY):
+        if i % 9973 == 0:
+            sampled[i] = cidr
+    assert len(sampled) > 10
+    for i, cidr in sampled.items():
+        net = ipaddress.ip_network(cidr)
+        for addr in (net.network_address, net.broadcast_address):
+            exp = mmdb_synth.expected_city_record_index(int(addr), N_CITY, N_CITY_REC)
+            assert exp == mmdb_synth.record_index(i, N_CITY_REC)
+            assert addr in net
+
+
+def test_vectorized_enumeration_matches_py_dfs(synth_dir):
+    """The numpy BFS walk and the per-node DFS agree exactly on a
+    >=100k-network rs=32 DB (the reference fixtures cover rs=28)."""
+    f = MMDBFile(synth_dir / "GeoLite2-ASN.mmdb")
+    a = f.enumerate_intervals()
+    b = f._enumerate_intervals_py()
+    assert len(a.lo) == len(b.lo) == N_ASN
+    assert (a.lo == b.lo).all() and (a.hi == b.hi).all()
+    assert [a.records[i] for i in a.rec_idx] == [b.records[i] for i in b.rec_idx]
+
+
+def test_driver_lookup_matches_oracle(synth_dir):
+    f = MMDBFile(synth_dir / "GeoLite2-City.mmdb")
+    tab = f.enumerate_intervals()
+    assert len(tab.lo) == N_CITY
+    addrs = _sample_addrs(N_CITY)
+    keys = np.array(
+        [(0xFFFF << 32 | a).to_bytes(16, "big") for a in addrs], dtype="|S16"
+    )
+    idx = tab.lookup_indices(keys)
+    for a, i in zip(addrs, idx):
+        exp = mmdb_synth.expected_city_record_index(a, N_CITY, N_CITY_REC)
+        assert exp is not None and i >= 0
+        assert tab.records[i]["city"]["geoname_id"] == 100000 + exp
+
+
+def test_geoip_full_end_to_end_spark(spark, synth_dir):
+    """geoip.full through the real broadcast + Arrow UDF path against a
+    120k-network DB: every enriched field recomputed independently from
+    the record-index arithmetic."""
+    from polars_iptools_spark.functions import geoip
+
+    addrs = _sample_addrs(N_CITY, step=1531 * 4096)
+    rows_in = [(a, str(ipaddress.ip_address(a))) for a in addrs]
+    df = spark.createDataFrame(rows_in, "addr long, ip string")
+    got = {
+        r.addr: r.g
+        for r in df.select(
+            "addr", geoip.full("ip", db_dir=str(synth_dir), reload_mmdb=True).alias("g")
+        ).collect()
+    }
+    assert len(got) == len(addrs)
+    for a in addrs:
+        j = mmdb_synth.expected_city_record_index(a, N_CITY, N_CITY_REC)
+        g = got[a]
+        assert g.city == f"City {j}"
+        cc = j % 250
+        assert g.country == f"Country {cc}"
+        assert g.postalcode == f"{j % 100000:05d}"
+        assert g.latitude == pytest.approx(round(-90.0 + (j % 18000) / 100.0, 4))
+        assert g.timezone == f"Zone/Region_{j % 400}"
+        # ASN side: the ASN DB covers only its first N_ASN tiles
+        exp_asn = mmdb_synth.expected_city_record_index(a, N_ASN, N_ASN_REC)
+        if exp_asn is not None:
+            assert g.asnnum == 1000 + exp_asn
+        else:
+            assert g.asnnum == 0
+
+
+def test_geoip_asn_string_end_to_end_spark(spark, synth_dir):
+    from polars_iptools_spark.functions import geoip
+
+    addrs = _sample_addrs(N_ASN, step=401 * 4096)
+    df = spark.createDataFrame(
+        [(a, str(ipaddress.ip_address(a))) for a in addrs], "addr long, ip string"
+    )
+    got = {
+        r.addr: r.a
+        for r in df.select(
+            "addr", geoip.asn("ip", db_dir=str(synth_dir)).alias("a")
+        ).collect()
+    }
+    for a in addrs:
+        j = mmdb_synth.expected_city_record_index(a, N_ASN, N_ASN_REC)
+        assert got[a] == f"AS{1000 + j} Synthetic Org {j} LLC"
