@@ -9,6 +9,7 @@ set -euo pipefail
 cd "$(dirname "$0")/.."
 
 FILES="${SPARK_GRAFT_SCALE_FILES:-600000}"
+SKEW="${SPARK_GRAFT_SCALE_SKEW:-0}"   # 1: Zipf cluster sizes + one hot /24 (254 clusters x 200 records)
 TRUTH="${SPARK_GRAFT_SCALE_TRUTH:-1}"  # 0 skips the post-timing F1 eval (big sweeps)
 REPS="${SPARK_GRAFT_SCALE_REPS:-3}"    # best-of-N per level (noisy-neighbor insurance)
 LOADGATE="${SPARK_GRAFT_SCALE_LOADGATE:-}"  # e.g. 2.0: wait (<=30 min) for 1-min load below this before each rep
@@ -22,15 +23,24 @@ echo "workdir: $WORK  files: $FILES  cores: $N vs $N4" >&2
 (cd "$(pwd)" && zip -qr "$WORK/pkg.zip" polars_iptools_spark)
 
 # materialize the shared corpus once (generation excluded from timing)
-python - "$WORK" "$FILES" <<'EOF'
+python - "$WORK" "$FILES" "$SKEW" <<'EOF'
 import sys
 from polars_iptools_spark.session import get_spark
 from polars_iptools_spark.sources.corpus import synth_corpus
-work, files = sys.argv[1], int(sys.argv[2])
+work, files, skew = sys.argv[1], int(sys.argv[2]), sys.argv[3] == "1"
 spark = get_spark(master="local[32]", extra_conf={"spark.ui.enabled": "false"})
 spark.sparkContext.setLogLevel("ERROR")
-corpus, truth = synth_corpus(spark, n_entities=files // 3, records_per_entity=3,
-                             n_blocks=max(files // 600, 10))
+if skew:
+    # Zipf sizes mean ~7.5 records/entity (base 3, exponent -0.7, cap
+    # 48) + one /24 holding 254 entities x 200 records; n_entities
+    # picked so total rows land near FILES
+    corpus, truth = synth_corpus(
+        spark, n_entities=max((files - 254 * 200) // 7, 1000),
+        records_per_entity=3, n_blocks=max(files // 600, 10),
+        zipf_sizes=True, hot_entities=254, hot_cluster_size=200)
+else:
+    corpus, truth = synth_corpus(spark, n_entities=files // 3, records_per_entity=3,
+                                 n_blocks=max(files // 600, 10))
 corpus.write.mode("overwrite").parquet(f"{work}/corpus.parquet")
 truth.write.mode("overwrite").parquet(f"{work}/truth.parquet")
 spark.stop()

@@ -358,6 +358,32 @@ def _spur_fixture_dir() -> str:
     return out
 
 
+# production-shaped synthetic GeoLite2 pair (decode + broadcast + lookup
+# exercised at 120k/30k networks inside the correctness gate; the full
+# 1.9M-network stress record lives in BENCH/mmdb_scale_result.json).
+# The records are pure arithmetic on the network index, so the DuckDB
+# oracle recomputes every enriched field independently of the MMDB
+# machinery — this entry validates the DECODER, not just the lookup.
+_SYNTH_CITY_N, _SYNTH_CITY_REC = 120_000, 9_000
+_SYNTH_ASN_N, _SYNTH_ASN_REC = 30_000, 5_000
+
+
+def _synth_geolite_dir() -> str:
+    import os
+    from polars_iptools_spark.sources.mmdb_synth import write_synthetic_geolite
+
+    out = f"{_oracle_dir()}/synth_geolite"
+    if not os.path.exists(f"{out}/GeoLite2-City.mmdb"):
+        write_synthetic_geolite(
+            out,
+            n_city_networks=_SYNTH_CITY_N,
+            n_city_records=_SYNTH_CITY_REC,
+            n_asn_networks=_SYNTH_ASN_N,
+            n_asn_records=_SYNTH_ASN_REC,
+        )
+    return out
+
+
 
 # ---------------------------------------------------------------------------
 # pinned goldens for the two xxhash64-derived queries
@@ -572,6 +598,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             s["location_state"].alias("location_state"),
             F.array_join(s["services"], ",").alias("services_csv"),
             s["tag"].alias("tag"),
+        )
+
+    def q_geoip_synth_scale(spark, sf):
+        # production-shaped synthesized GeoLite2 pair: the oracle
+        # recomputes every field from the tiling arithmetic, so this is
+        # an independent check of decode+broadcast+lookup at 120k/30k
+        # networks (the dir-keyed singleton rebuilds on the dir switch)
+        g = ip.geoip.full("ip", db_dir=_synth_geolite_dir())
+        return _derived_ips(spark, sf).select(
+            "rid",
+            g["asnnum"].alias("asnnum"),
+            g["city"].alias("city"),
+            g["country"].alias("country"),
+            g["postalcode"].alias("postalcode"),
+            g["timezone"].alias("timezone"),
+            g["latitude"].alias("latitude"),
         )
 
     def q_exact_dedup(spark, sf):
@@ -1026,6 +1068,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geoip_asn": q_geoip_asn,
         "geoip_full": q_geoip_full,
         "spur_full": q_spur_full,
+        "geoip_synth_scale": q_geoip_synth_scale,
         "exact_dedup": q_exact_dedup,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
@@ -1195,6 +1238,60 @@ SELECT k.rid,
 FROM k
 LEFT JOIN read_parquet('{gd}/geoip_asn.parquet') a ON k.key >= a.lo AND k.key <= a.hi
 LEFT JOIN read_parquet('{gd}/geoip_city.parquet') c ON k.key >= c.lo AND k.key <= c.hi""",
+        # synthetic production-shaped GeoLite2: the oracle recomputes the
+        # tiling arithmetic (mmdb_synth._iter_networks + record_index)
+        # from scratch — independent of the MMDB file, decoder, writer
+        # AND interval dump, so a regression anywhere in that chain
+        # breaks the hash.  Tiling: /19 block b subdivides by b%4 into
+        # 1x/19, 2x/20, 4x/21 or 8x/22 (cumulative offsets 0/1/3/7,
+        # 15 networks per 4 blocks); record j = (i*2654435761) % n_rec.
+        "geoip_synth_scale": f"""{ips},
+p AS (
+  SELECT rid, ip,
+         CASE WHEN ip IS NULL THEN NULL
+              ELSE regexp_full_match(ip, '{valid_re}') END AS valid,
+         CASE WHEN ip IS NOT NULL AND regexp_full_match(ip, '{_V4_RE_SQL}')
+              THEN {_NUM_SQL} END AS addr
+  FROM ips
+),
+calc AS (
+  SELECT rid, valid,
+         CASE WHEN addr IS NOT NULL THEN
+           (addr // 8192 // 4) * 15
+           + CASE (addr // 8192) % 4 WHEN 0 THEN 0 WHEN 1 THEN 1
+                                     WHEN 2 THEN 3 ELSE 7 END
+           + (addr % 8192) // (CASE (addr // 8192) % 4
+                               WHEN 0 THEN 8192 WHEN 1 THEN 4096
+                               WHEN 2 THEN 2048 ELSE 1024 END)
+         END AS i
+  FROM p
+),
+jj AS (
+  SELECT rid, valid,
+         CASE WHEN i IS NOT NULL AND i < {_SYNTH_CITY_N}
+              THEN (i * 2654435761) % {_SYNTH_CITY_REC} END AS jc,
+         CASE WHEN i IS NOT NULL AND i < {_SYNTH_ASN_N}
+              THEN (i * 2654435761) % {_SYNTH_ASN_REC} END AS ja
+  FROM calc
+)
+SELECT rid,
+  CASE WHEN valid IS DISTINCT FROM TRUE THEN NULL
+       WHEN ja IS NULL THEN 0 ELSE 1000 + ja END AS asnnum,
+  CASE WHEN valid IS DISTINCT FROM TRUE THEN NULL
+       WHEN jc IS NULL THEN '' ELSE 'City ' || CAST(jc AS VARCHAR) END AS city,
+  CASE WHEN valid IS DISTINCT FROM TRUE THEN NULL
+       WHEN jc IS NULL THEN ''
+       ELSE 'Country ' || CAST(jc % 250 AS VARCHAR) END AS country,
+  CASE WHEN valid IS DISTINCT FROM TRUE THEN NULL
+       WHEN jc IS NULL THEN ''
+       ELSE lpad(CAST(jc % 100000 AS VARCHAR), 5, '0') END AS postalcode,
+  CASE WHEN valid IS DISTINCT FROM TRUE THEN NULL
+       WHEN jc IS NULL THEN ''
+       ELSE 'Zone/Region_' || CAST(jc % 400 AS VARCHAR) END AS timezone,
+  CASE WHEN valid IS DISTINCT FROM TRUE THEN NULL
+       WHEN jc IS NULL THEN 0.0
+       ELSE -90.0 + (jc % 18000) / 100.0 END AS latitude
+FROM jj""",
         # spur fixture entries are known literals -> pure CASE oracle;
         # 'nul' = null or invalid input (all-null struct per spur.rs:41-44)
         "spur_full": f"""{ips},

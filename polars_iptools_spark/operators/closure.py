@@ -110,13 +110,18 @@ def _is_star_forest(edges: DataFrame) -> bool:
 
 
 def connected_components(
-    edges: DataFrame, max_iterations: int = 50, checkpoint: bool = True
+    edges: DataFrame, max_iterations: int = 50, checkpoint: bool = True,
+    stats: dict | None = None,
 ) -> DataFrame:
     """(src,dst) edge list -> (node, component) with component = the
     minimum node id of the connected component.
 
     Nodes appearing only in self-loops / isolated are still returned
     (component = themselves).
+
+    ``stats``: optional dict that receives ``{"supersteps": k}`` — the
+    scale-evidence hook (superstep count is the O(log diameter) bound
+    a giant component must not break).
     """
     aligned = _aligned(edges)
     all_nodes = (
@@ -127,11 +132,13 @@ def connected_components(
     e = _normalize(aligned)
     if checkpoint:
         e = e.localCheckpoint(eager=True)
-    for _ in range(max_iterations):
+    for step in range(max_iterations):
         e = _small_star(_large_star(e))
         if checkpoint:
             e = e.localCheckpoint(eager=True)
         if _is_star_forest(e):
+            if stats is not None:
+                stats["supersteps"] = step + 1
             break
     else:
         raise RuntimeError(f"closure did not converge in {max_iterations} supersteps")

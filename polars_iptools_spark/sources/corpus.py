@@ -95,7 +95,16 @@ for _c in _C24:
 _SLOT_CAP = _CUM24[-1]  # entities per /16 slot (16,064)
 
 
-def _entity_fields(seed: int, e: int, n_entities: int, n_blocks: int) -> dict:
+# hot-block /24 for the skewed-corpus variant: o2=99 is outside the
+# slot-assignment space (slots < 219 all map to o2=0), so the hot
+# prefix can never collide with a slot-assigned entity IP
+HOT_PREFIX = "223.99.0"
+MAX_HOT_ENTITIES = 254
+
+
+def _entity_fields(
+    seed: int, e: int, n_entities: int, n_blocks: int, hot_entities: int = 0
+) -> dict:
     """Entity e's indicator IP is derived from its GLOBAL rank, not a
     block hash: slot = e // _SLOT_CAP picks an injective (o1, o2) /16,
     and the within-slot rank walks the skewed /24 capacities.  Two
@@ -107,16 +116,25 @@ def _entity_fields(seed: int, e: int, n_entities: int, n_blocks: int) -> dict:
     import bisect
 
     he = _h(f"{seed}:entity:{e}")
-    slot = e // _SLOT_CAP
-    r = e % _SLOT_CAP
-    o1 = _PUBLIC_O1[slot % len(_PUBLIC_O1)]
-    o2 = (slot // len(_PUBLIC_O1)) % 256
-    third = bisect.bisect_right(_CUM24, r)
-    last = r - (_CUM24[third - 1] if third else 0) + 1
+    if e < hot_entities:
+        # skewed-corpus variant: the first ``hot_entities`` (<=254)
+        # entities all live in ONE /24 — with Zipf-inflated cluster
+        # sizes this block carries ~100x the average block's rows,
+        # which is exactly what the measured-histogram refinement
+        # (plans/blocking.py) exists for
+        ip = f"{HOT_PREFIX}.{e + 1}"
+    else:
+        slot = e // _SLOT_CAP
+        r = e % _SLOT_CAP
+        o1 = _PUBLIC_O1[slot % len(_PUBLIC_O1)]
+        o2 = (slot // len(_PUBLIC_O1)) % 256
+        third = bisect.bisect_right(_CUM24, r)
+        last = r - (_CUM24[third - 1] if third else 0) + 1
+        ip = f"{o1}.{o2}.{third}.{last}"
     lang = LANGS[he[8] % len(LANGS)]
     return {
         "entity": e,
-        "ip": f"{o1}.{o2}.{third}.{last}",
+        "ip": ip,
         "lang": lang,
         "repo": f"org{he[9] % 20}/repo{he[10] % 50}",
         "stem": f"src/module{he[11] % 30}/svc{e}",
@@ -124,11 +142,57 @@ def _entity_fields(seed: int, e: int, n_entities: int, n_blocks: int) -> dict:
     }
 
 
+@functools.lru_cache(maxsize=4)
+def size_plan(
+    seed: int,
+    n_entities: int,
+    records_per_entity: int,
+    zipf_sizes: bool,
+    hot_entities: int,
+    hot_cluster_size: int,
+    size_cap: int,
+):
+    """Per-entity cluster sizes -> cumulative row boundaries (numpy
+    int64), or None for the uniform fast path.
+
+    Zipf-ish sizes come from an inverse-CDF over a ONE-SHOT seeded
+    uniform array (size = clip(base * u^-0.7, 1, cap)): generated for
+    all entities at once and lru-cached per process, so the mapping is
+    identical at any partitioning — the same reproducibility property
+    as the per-row hash derivation, at 100x the speed of hashing every
+    entity id.  The first ``hot_entities`` entities get
+    ``hot_cluster_size`` records each (they share one /24 — see
+    :func:`_entity_fields`)."""
+    if not zipf_sizes and not hot_entities:
+        return None
+    if hot_entities > MAX_HOT_ENTITIES:
+        raise ValueError(f"hot_entities > {MAX_HOT_ENTITIES} (one /24)")
+    import numpy as np
+
+    sizes = np.full(n_entities, records_per_entity, dtype=np.int64)
+    if zipf_sizes:
+        rng = np.random.default_rng(seed)
+        u = rng.random(n_entities) + 2**-53
+        sizes = np.clip(
+            (records_per_entity * u**-0.7).astype(np.int64), 1, size_cap
+        )
+    if hot_entities:
+        sizes[:hot_entities] = hot_cluster_size
+    return np.cumsum(sizes)
+
+
 def _record(
-    seed: int, i: int, records_per_entity: int, n_entities: int, n_blocks: int
+    seed: int,
+    i: int,
+    records_per_entity: int,
+    n_entities: int,
+    n_blocks: int,
+    e: int | None = None,
+    hot_entities: int = 0,
 ) -> dict:
-    e = i // records_per_entity
-    ent = _entity_fields(seed, e, n_entities, n_blocks)
+    if e is None:
+        e = i // records_per_entity
+    ent = _entity_fields(seed, e, n_entities, n_blocks, hot_entities)
     hr = _h(f"{seed}:row:{i}")
     lang = ent["lang"]
     suffix = ["", "_impl", "_v2", "_test"][hr[1] % 4]
@@ -162,22 +226,67 @@ def synth_corpus(
     n_blocks: int = 50,
     seed: int = 42,
     partitions: int | None = None,
+    zipf_sizes: bool = False,
+    hot_entities: int = 0,
+    hot_cluster_size: int = 200,
+    size_cap: int = 48,
 ) -> tuple[DataFrame, DataFrame]:
     """Returns (corpus, truth).
 
     corpus: the 5-column input_hint table.
     truth:  (commit, entity) hidden labels, joined back by the unique
             commit key for F1 evaluation.
+
+    Skewed variant (SURVEY §4.2): ``zipf_sizes=True`` draws cluster
+    sizes from a heavy-tailed distribution (mean ~3x
+    ``records_per_entity``, capped at ``size_cap``), and
+    ``hot_entities=k`` packs the first k (<=254) entities into ONE /24
+    with ``hot_cluster_size`` records each — a blocking key holding
+    ~100x the average block's rows.
     """
-    n = n_entities * records_per_entity
+    cum = size_plan(
+        seed,
+        n_entities,
+        records_per_entity,
+        zipf_sizes,
+        hot_entities,
+        hot_cluster_size,
+        size_cap,
+    )
+    n = int(cum[-1]) if cum is not None else n_entities * records_per_entity
     parts = partitions or max(spark.sparkContext.defaultParallelism, 4)
     base = spark.range(0, n, 1, parts)
+    plan_args = (
+        seed,
+        n_entities,
+        records_per_entity,
+        zipf_sizes,
+        hot_entities,
+        hot_cluster_size,
+        size_cap,
+    )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cum_w = size_plan(*plan_args)  # lru-cached per worker process
         for b in batches:
+            ids = b["id"]
+            if cum_w is None:
+                ents = [None] * len(ids)
+            else:
+                import numpy as np
+
+                ents = np.searchsorted(cum_w, ids.to_numpy(), side="right")
             rows = [
-                _record(seed, int(i), records_per_entity, n_entities, n_blocks)
-                for i in b["id"]
+                _record(
+                    seed,
+                    int(i),
+                    records_per_entity,
+                    n_entities,
+                    n_blocks,
+                    e=(int(e) if e is not None else None),
+                    hot_entities=hot_entities,
+                )
+                for i, e in zip(ids, ents)
             ]
             yield pd.DataFrame(rows)
 

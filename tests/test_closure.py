@@ -46,3 +46,44 @@ def test_closure_random_graph(spark):
     edges = [(rnd.randrange(200), rnd.randrange(200)) for _ in range(300)]
     edges = [(a, b) for a, b in edges]
     assert spark_cc(spark, edges) == oracle(edges)
+
+
+def test_closure_giant_component_bounded_supersteps(spark):
+    """Skew-robust closure: one component spanning ~8% of nodes — as a
+    CHAIN, the worst case for star contraction (maximum diameter) —
+    plus a hub star and a sea of size-3 components.  Supersteps must
+    stay O(log diameter), and membership must be exact.
+
+    (The corpus-scale wall record for this shape lives in
+    BENCH/closure_giant_result.json via BENCH/closure_giant.py.)
+    """
+    from pyspark.sql import functions as F
+
+    n_small = 60_000  # 20k size-3 components: nodes 0..59999
+    chain_n = 5_000   # chain component: diameter 5k
+    star_n = 5_000    # hub star: the high-degree/skew case
+    chain = spark.range(n_small, n_small + chain_n - 1).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    hub = n_small + chain_n
+    star = spark.range(hub + 1, hub + star_n).select(
+        F.lit(hub).alias("src"), F.col("id").alias("dst")
+    )
+    small = spark.range(0, n_small, 3).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    ).union(
+        spark.range(0, n_small, 3).select(
+            F.col("id").alias("src"), (F.col("id") + 2).alias("dst")
+        )
+    )
+    stats: dict = {}
+    comp = connected_components(
+        chain.union(star).union(small), stats=stats
+    )
+    sizes = comp.groupBy("component").count()
+    giant = {r.component: r["count"] for r in sizes.where("count > 3").collect()}
+    assert giant == {n_small: chain_n, hub: star_n}, giant
+    assert sizes.where("count = 3").count() == n_small // 3
+    # log2(5000) ~ 12.3; star contraction typically halves distances
+    # per superstep — anything over 25 means the bound broke
+    assert stats["supersteps"] <= 25, stats

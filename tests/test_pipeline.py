@@ -56,6 +56,57 @@ def test_pairwise_f1_target(spark, corpus_truth, result):
     assert m["f1"] >= 0.99, m
 
 
+@pytest.fixture(scope="module")
+def skewed(spark, tmp_path_factory):
+    """Zipf cluster sizes + one hot /24 (40 entities x 25 records =
+    1000 rows in one block) — the SURVEY §4.2 skew shape at CI size."""
+    corpus, truth = synth_corpus(
+        spark,
+        n_entities=600,
+        records_per_entity=3,
+        n_blocks=60,
+        zipf_sizes=True,
+        hot_entities=40,
+        hot_cluster_size=25,
+        size_cap=20,
+    )
+    corpus.cache().count()
+    truth.cache().count()
+    ckpt = str(tmp_path_factory.mktemp("ckpt_skew"))
+    return corpus, truth, run_pipeline(spark, corpus, ckpt)
+
+
+def test_skewed_hot_block_triggers_refinement(spark, skewed):
+    corpus, _, res = skewed
+    # the hot /24 base key actually exceeded the refinement threshold:
+    # refined keys carry the appended ip (4 '|' segments)
+    from polars_iptools_spark.sources.corpus import HOT_PREFIX
+
+    refined_hot = (
+        res["blocked"]
+        .where(F.col("ip").startswith(HOT_PREFIX + "."))
+        .where(F.size(F.split("block_key", r"\|")) == 4)
+        .count()
+    )
+    assert refined_hot > 0
+
+
+def test_skewed_f1_counting_equals_pairs_and_meets_target(spark, skewed):
+    _, truth, res = skewed
+    m_count = pairwise_f1(res["clusters"], truth, res["blocked"], method="count")
+    m_pairs = pairwise_f1(res["clusters"], truth, res["blocked"], method="pairs")
+    assert (m_count["tp"], m_count["fp"], m_count["fn"]) == (
+        m_pairs["tp"],
+        m_pairs["fp"],
+        m_pairs["fn"],
+    ), (m_count, m_pairs)
+    assert m_count["f1"] >= 0.99, m_count
+    assert m_count["fp"] == 0, m_count
+    # the hot block contributes real pair mass (sanity that the skew
+    # shape isn't degenerate)
+    assert m_count["tp"] >= 40 * (25 * 24 // 2)
+
+
 def test_every_record_clustered(spark, corpus_truth, result):
     corpus, _ = corpus_truth
     res, _ = result
