@@ -225,6 +225,55 @@ def main() -> None:
     bench("pipeline_e2e", _pipeline_rep)
     extras["pipeline_files_per_sec"] = round(n_files / timings["pipeline_e2e"], 1)
 
+    # Full-parallelism engine numbers (extras only — the 12 headline
+    # walls above stay round-over-round comparable).  The driver's
+    # sf0.1 parquet is a single row-group, so the cached inputs above
+    # have ~3 partitions and every per-row wall is a 3-core number; the
+    # sf1.0 ladder (BENCH/BASELINE.md §3b) showed the same operators
+    # running 10x the rows in the same wall once partitioned.  These
+    # reps measure the operators on the SAME data spread across all
+    # cores.
+    ips_par = ips.repartition(int(CPUS)).cache()
+    ips_par.count()
+
+    def _med(fn):
+        runs = []
+        for _ in range(REPS):
+            t0 = time.monotonic()
+            fn()
+            runs.append(time.monotonic() - t0)
+        return statistics.median(runs)
+
+    w = _med(
+        lambda: force(
+            ips_par.select(
+                ip.is_valid("ip").alias("v"),
+                ip.is_private("ip").alias("p"),
+                ip.ipv4_to_numeric("ip").alias("n"),
+            ).where("v or p or n > 0")
+        )
+    )
+    extras["scalar_par_rows_per_sec"] = round(n_ips / w)
+    w = _med(
+        lambda: force(
+            ips_par.select(ip.geoip.full("ip", db_dir=MAXMIND).alias("g")).where(
+                "g.asnnum is not null"
+            )
+        )
+    )
+    extras["geoip_par_rows_per_sec"] = round(n_ips / w)
+    ips_par.unpersist()
+
+    texts_par = texts.repartition(int(CPUS)).cache()
+    texts_par.count()
+    w = _med(
+        lambda: force(
+            texts_par.select(F.explode(ip.extract_ips("itext", ipv6=True)).alias("x"))
+        )
+    )
+    extras["extract_v6_par_docs_per_sec"] = round(n_docs / w)
+    texts_par.unpersist()
+
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
