@@ -51,8 +51,10 @@ def city_record(j: int) -> dict:
         },
         "location": {
             "accuracy_radius": 1 + j % 1000,
-            "latitude": round(-90.0 + (j % 18000) / 100.0, 4),
-            "longitude": round(-180.0 + (j % 36000) / 100.0, 4),
+            # plain IEEE divide+add (no rounding): an independent SQL
+            # oracle recomputing these gets bit-identical doubles
+            "latitude": -90.0 + (j % 18000) / 100.0,
+            "longitude": -180.0 + (j % 36000) / 100.0,
             "time_zone": f"Zone/Region_{j % 400}",
         },
         "postal": {"code": f"{j % 100000:05d}"},
