@@ -294,16 +294,22 @@ def _dump_geoip_intervals() -> str:
     from pathlib import Path
 
     from polars_iptools_spark.functions._enrich import build_geoip_tables
+    from polars_iptools_spark.sources.mmdb import load_interval_table
 
     out = _oracle_dir()
     tabs = build_geoip_tables(Path(MAXMIND_TEST_DIR))
+    files = {"asn": "GeoLite2-ASN.mmdb", "city": "GeoLite2-City.mmdb"}
     for name, tab in tabs.items():
+        # intervals come from the RAW decoded table, not FlatTable's
+        # split v4/v6 index — the oracle replicates the search from
+        # first principles, independent of the engine's layout
+        it = load_interval_table(Path(MAXMIND_TEST_DIR) / files[name])
         cols = {
-            "lo": [bytes(b).hex() for b in tab.lo.tolist()],
-            "hi": [bytes(b).hex() for b in tab.hi.tolist()],
+            "lo": [bytes(b).hex() for b in it.lo.tolist()],
+            "hi": [bytes(b).hex() for b in it.hi.tolist()],
         }
         for fname, col in tab.columns.items():
-            cols[fname] = [col[i] for i in tab.rec_idx]
+            cols[fname] = [col[i] for i in it.rec_idx]
         pq.write_table(pa.table(cols), f"{out}/geoip_{name}.parquet")
     return out
 

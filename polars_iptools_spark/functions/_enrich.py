@@ -41,17 +41,69 @@ def resolve_mmdb_dir(env_var: str, explicit: str | None = None) -> Path:
     )
 
 
+# 1-element |S16 arrays, NOT scalars: numpy compares a byte-string
+# array against a bytes scalar with C-string (first-NUL-terminated)
+# semantics, which inverts the result for keys with interior NULs;
+# array-vs-array comparison uses full fixed-width bytewise order
+_V4_PFX_LO = np.array([b"\x00" * 10 + b"\xff\xff"], dtype="|S16")
+_V4_PFX_HI = np.array([b"\x00" * 10 + b"\xff\xff" + b"\xff" * 4], dtype="|S16")
+
+
 class FlatTable:
     """Interval keys + per-field flattened record columns.
 
     Row layout: records[0..n) from the MMDB, then one synthetic
     "not found" defaults row at index n, so lookups never branch —
     index -1 is remapped to the defaults row.
+
+    The interval index is split by the v4-mapped ``::ffff:0:0/96``
+    range: intervals intersecting it are stored (clamped into the /96)
+    as **uint32** ``lo4``/``hi4`` arrays, everything not fully inside
+    stays |S16 in ``lo6``/``hi6``.  Real GeoLite2 keys are ~all v4, so
+    at production scale this cuts the broadcast ~4x on the dominant
+    arrays (16B -> 4B per bound, int64 -> int32 record index) and the
+    uint32 searchsorted runs ~1.8x faster than the 16-byte-string one.
+    Intervals are disjoint, so at most one interval straddles each /96
+    boundary; clamping keeps v4-key containment exact while the
+    unclamped original in ``lo6`` serves non-v4-mapped keys.
     """
 
     def __init__(self, table: IntervalTable, fields: list[tuple[str, object, object]]):
         # fields: (name, extractor(record)->value, default_when_not_found)
-        self.lo, self.hi, self.rec_idx = table.lo, table.hi, table.rec_idx
+        lo, hi, rec_idx = table.lo, table.hi, table.rec_idx
+        ni = len(lo)
+        if ni:
+            m_lo = np.frombuffer(lo.tobytes(), dtype=np.uint8).reshape(ni, 16)
+            m_hi = np.frombuffer(hi.tobytes(), dtype=np.uint8).reshape(ni, 16)
+            inter = (lo <= _V4_PFX_HI) & (hi >= _V4_PFX_LO)
+            lo4 = (
+                np.ascontiguousarray(m_lo[inter, 12:16])
+                .view(">u4")
+                .ravel()
+                .astype(np.uint32)
+            )
+            hi4 = (
+                np.ascontiguousarray(m_hi[inter, 12:16])
+                .view(">u4")
+                .ravel()
+                .astype(np.uint32)
+            )
+            # clamp the (at most one, disjointness) straddling bound
+            np.putmask(lo4, lo[inter] < _V4_PFX_LO, np.uint32(0))
+            np.putmask(hi4, hi[inter] > _V4_PFX_HI, np.uint32(0xFFFFFFFF))
+            self.lo4, self.hi4 = lo4, hi4
+            self.idx4 = rec_idx[inter].astype(np.int32)
+            inside = _is_v4_mapped(m_lo) & _is_v4_mapped(m_hi)
+            keep6 = ~inside
+            self.lo6, self.hi6 = lo[keep6], hi[keep6]
+            self.idx6 = rec_idx[keep6].astype(np.int32)
+        else:
+            self.lo4 = np.empty(0, dtype=np.uint32)
+            self.hi4 = np.empty(0, dtype=np.uint32)
+            self.idx4 = np.empty(0, dtype=np.int32)
+            self.lo6 = np.empty(0, dtype="|S16")
+            self.hi6 = np.empty(0, dtype="|S16")
+            self.idx6 = np.empty(0, dtype=np.int32)
         n = len(table.records)
         self.n_records = n
         self.columns: dict[str, np.ndarray] = {}
@@ -76,24 +128,46 @@ class FlatTable:
         """``|S16`` key array + valid mask (from pack_ip_series_s16) ->
         record row indices; fully vectorized, no per-row objects.
 
-        numpy ``|S16`` strips trailing NUL bytes, so a key like
-        ``...ffff 0a000000`` compares as its 12-byte prefix — that is
-        SAFE here: with NUL the minimal byte, lexicographic order over
-        NUL-stripped strings is identical to order over the full
-        16-byte forms (a prefix sorts exactly where its zero-padded
-        form would), and ``self.lo``/``self.hi`` are |S16 too, so both
-        sides of every searchsorted comparison use the same convention.
+        v4-mapped keys take the uint32 index; the rest take the |S16
+        remainder.  numpy ``|S16`` strips trailing NUL bytes, so a key
+        like ``...ffff 0a000000`` compares as its 12-byte prefix — that
+        is SAFE on the remainder path: with NUL the minimal byte,
+        lexicographic order over NUL-stripped strings is identical to
+        order over the full 16-byte forms (a prefix sorts exactly where
+        its zero-padded form would), and ``self.lo6``/``self.hi6`` are
+        |S16 too, so both sides of every searchsorted comparison use
+        the same convention.
         """
-        rows = np.full(len(kb), self.n_records, dtype=np.int64)
-        if valid.any() and len(self.lo):
-            vk = kb[valid]
-            pos = np.searchsorted(self.lo, vk, side="right") - 1
+        n = len(kb)
+        rows = np.full(n, self.n_records, dtype=np.int64)
+        if n == 0 or not valid.any():
+            return rows
+        m = np.frombuffer(kb.tobytes(), dtype=np.uint8).reshape(n, 16)
+        is4 = _is_v4_mapped(m) & valid
+        if is4.any() and len(self.lo4):
+            k4 = (
+                np.ascontiguousarray(m[is4, 12:16])
+                .view(">u4")
+                .ravel()
+                .astype(np.uint32)
+            )
+            pos = np.searchsorted(self.lo4, k4, side="right") - 1
+            ok = pos >= 0
+            hit = np.zeros(len(k4), dtype=bool)
+            hit[ok] = k4[ok] <= self.hi4[pos[ok]]
+            found = np.full(len(k4), self.n_records, dtype=np.int64)
+            found[hit] = self.idx4[pos[hit]]
+            rows[is4] = found
+        rest = valid & ~is4
+        if rest.any() and len(self.lo6):
+            vk = kb[rest]
+            pos = np.searchsorted(self.lo6, vk, side="right") - 1
             ok = pos >= 0
             hit = np.zeros(len(vk), dtype=bool)
-            hit[ok] = vk[ok] <= self.hi[pos[ok]]
+            hit[ok] = vk[ok] <= self.hi6[pos[ok]]
             found = np.full(len(vk), self.n_records, dtype=np.int64)
-            found[hit] = self.rec_idx[pos[hit]]
-            rows[valid] = found
+            found[hit] = self.idx6[pos[hit]]
+            rows[rest] = found
         return rows
 
     def lookup(self, keys_obj: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -101,19 +175,20 @@ class FlatTable:
         (record_row_index array with defaults row for misses, valid mask)."""
         n = len(keys_obj)
         mask = np.array([k is not None for k in keys_obj], dtype=bool)
-        rows = np.full(n, self.n_records, dtype=np.int64)
+        kb = np.zeros((n, 16), dtype=np.uint8)
         vidx = np.flatnonzero(mask)
-        if len(vidx):
-            kb = np.array([keys_obj[i] for i in vidx], dtype="|S16")
-            if len(self.lo):
-                pos = np.searchsorted(self.lo, kb, side="right") - 1
-                ok = pos >= 0
-                hit = np.zeros(len(kb), dtype=bool)
-                hit[ok] = kb[ok] <= self.hi[pos[ok]]
-                found = np.full(len(kb), self.n_records, dtype=np.int64)
-                found[hit] = self.rec_idx[pos[hit]]
-                rows[vidx] = found
-        return rows, mask
+        for i in vidx:
+            kb[i] = np.frombuffer(keys_obj[i], dtype=np.uint8)
+        return self.lookup_s16(kb.view("|S16").reshape(n), mask), mask
+
+
+def _is_v4_mapped(m: np.ndarray) -> np.ndarray:
+    """(n, 16) uint8 key matrix -> mask of keys inside ::ffff:0:0/96."""
+    return (
+        (m[:, 10] == 0xFF)
+        & (m[:, 11] == 0xFF)
+        & ~m[:, :10].any(axis=1)
+    )
 
 
 class BroadcastedDB:
