@@ -16,11 +16,13 @@ from pyspark.sql import DataFrame
 def ensure_parallelism(df: DataFrame, min_ratio: float = 0.5) -> DataFrame:
     """Repartition only if the frame has materially fewer partitions
     than the cluster has cores."""
-    sc = df.sparkSession.sparkContext
-    target = sc.defaultParallelism
     try:
+        target = df.sparkSession.sparkContext.defaultParallelism
         cur = df.rdd.getNumPartitions()
     except Exception:
+        # Spark Connect exposes neither sparkContext nor df.rdd; the
+        # explicit repartitions at the exploding operators still pin
+        # their own fan-out, so passing through is safe
         return df
     if cur < target * min_ratio:
         return df.repartition(target)

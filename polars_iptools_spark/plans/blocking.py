@@ -165,7 +165,11 @@ def candidate_pairs(
     handful of tasks.  An explicit user repartition is exempt from AQE
     coalescing, so the pair generation keeps full-cluster parallelism.
     """
-    parts = max(blocked.sparkSession.sparkContext.defaultParallelism * 2, 8)
+    try:
+        parts = max(blocked.sparkSession.sparkContext.defaultParallelism * 2, 8)
+    except Exception:
+        # Spark Connect has no sparkContext — fixed fan-out fallback
+        parts = 16
     cols = ["rid", "ip", "path", "repo", "block_key"]
     narrowed = blocked.select(cols).repartition(parts, "block_key")
     a = narrowed.select(

@@ -254,7 +254,14 @@ def synth_corpus(
         size_cap,
     )
     n = int(cum[-1]) if cum is not None else n_entities * records_per_entity
-    parts = partitions or max(spark.sparkContext.defaultParallelism, 4)
+    if partitions:
+        parts = partitions
+    else:
+        try:
+            parts = max(spark.sparkContext.defaultParallelism, 4)
+        except Exception:
+            # Spark Connect has no sparkContext — fixed fan-out fallback
+            parts = 16
     base = spark.range(0, n, 1, parts)
     plan_args = (
         seed,

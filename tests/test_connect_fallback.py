@@ -117,3 +117,25 @@ def test_is_in_native_fast_path_agrees_with_udf_path(spark, cidrs, probes):
     ).collect()
     for r, p in zip(out, probes):
         assert r.native == r.udf, (p, cidrs, r.native, r.udf)
+
+
+def test_ensure_parallelism_connect_passthrough(spark):
+    """ensure_parallelism must pass a Connect-ish frame through
+    untouched instead of raising on the sparkContext access (the
+    exploding operators pin their own fan-out separately)."""
+    from polars_iptools_spark.functions._par import ensure_parallelism
+
+    real_df = spark.range(4)
+
+    class _ConnectishFrame:
+        def __init__(self, real):
+            self._real = real
+            self.sparkSession = _ConnectishSession(spark)
+
+        def __getattr__(self, name):
+            if name == "rdd":
+                raise AttributeError("rdd is not supported in Spark Connect")
+            return getattr(self._real, name)
+
+    fake = _ConnectishFrame(real_df)
+    assert ensure_parallelism(fake) is fake
