@@ -37,6 +37,8 @@ def main() -> None:
     ap.add_argument("--city-records", type=int, default=120_000)
     ap.add_argument("--asn-networks", type=int, default=500_000)
     ap.add_argument("--asn-records", type=int, default=70_000)
+    ap.add_argument("--city-v6-networks", type=int, default=400_000)
+    ap.add_argument("--asn-v6-networks", type=int, default=100_000)
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--cpus", default=os.environ.get("SPARK_GRAFT_CPUS", "32"))
     ap.add_argument("--keep-dir", default=None, help="reuse/keep DB dir instead of a temp dir")
@@ -60,6 +62,8 @@ def main() -> None:
                 n_city_records=args.city_records,
                 n_asn_networks=args.asn_networks,
                 n_asn_records=args.asn_records,
+                n_city_v6_networks=args.city_v6_networks,
+                n_asn_v6_networks=args.asn_v6_networks,
             )
             result["write_sec"] = round(time.time() - t0, 2)
             result["files"] = stats
@@ -88,6 +92,10 @@ def main() -> None:
         t0 = time.time()
         tables = _enrich.build_geoip_tables(db_dir)
         result["flat_tables_build_sec"] = round(time.time() - t0, 2)
+        result["split_index"] = {
+            name: {"v4_intervals": int(len(t.lo4)), "v6_intervals": int(len(t.lo6))}
+            for name, t in tables.items()
+        }
         t0 = time.time()
         payload = pickle.dumps(tables, protocol=pickle.HIGHEST_PROTOCOL)
         result["broadcast_payload_mb"] = round(len(payload) / 1e6, 1)
@@ -108,6 +116,20 @@ def main() -> None:
             assert got == want, (a, got, want)
             checked += 1
         result["oracle_spot_checks"] = checked
+        span = mmdb_synth._V6_BLOCK_SPAN
+        checked6 = 0
+        for rel in range(0, args.city_v6_networks * span // 4, 6007 * span // 16 + 1):
+            ai = mmdb_synth.V6_BASE + rel
+            key = np.array([ai.to_bytes(16, "big")], dtype="|S16")
+            rows = city.lookup_s16(key, np.array([True]))
+            exp = mmdb_synth.expected_city_v6_record_index(
+                ai, args.city_networks, args.city_v6_networks, args.city_records
+            )
+            got = city.columns["city"][rows[0]]
+            want = f"City {exp}" if exp is not None else ""
+            assert got == want, (hex(ai), got, want)
+            checked6 += 1
+        result["oracle_spot_checks_v6"] = checked6
         del tables
 
         # ---- 4. Spark lookup throughput ----------------------------------
@@ -165,6 +187,46 @@ def main() -> None:
         result["lookup_median_sec"] = med
         result["lookup_rows_per_sec"] = int(n_rows / med)
         result["resolved_rows"] = hit
+
+        # ---- 5. v6 remainder-path throughput -----------------------------
+        # the derived sf rows are v4; measure the |S16 remainder side
+        # with its own 600k-key column inside the synthesized 2600::/12
+        # tiling (driver-built strings, executor-side lookups)
+        if args.city_v6_networks:
+            import ipaddress
+
+            span6 = mmdb_synth._V6_BLOCK_SPAN
+            hi = args.city_v6_networks * span6 // 4
+            step6 = max(hi // 600_000, 1)
+            v6_strs = [
+                str(ipaddress.IPv6Address(mmdb_synth.V6_BASE + rel))
+                for rel in range(0, hi, step6)
+            ][:600_000]
+            v6df = (
+                spark.createDataFrame([(s,) for s in v6_strs], "ip string")
+                .repartition(int(args.cpus) * 2)
+                .cache()
+            )
+            n6 = v6df.count()
+            reps6 = []
+            for r in range(args.reps):
+                t0 = time.time()
+                agg = (
+                    v6df.select(gcol)
+                    .select("g.city", "g.asnnum")
+                    .agg(
+                        F.count(F.when(F.col("city") != "", 1)).alias("hits"),
+                        F.sum(F.length("city")).alias("chars"),
+                    )
+                    .collect()[0]
+                )
+                reps6.append(round(time.time() - t0, 3))
+            result["lookup_v6_rows"] = n6
+            result["lookup_v6_reps_sec"] = reps6
+            med6 = sorted(reps6)[len(reps6) // 2]
+            result["lookup_v6_median_sec"] = med6
+            result["lookup_v6_rows_per_sec"] = int(n6 / med6)
+            result["lookup_v6_resolved"] = int(agg["hits"])
         spark.stop()
     finally:
         if cleanup:

@@ -105,8 +105,43 @@ def _iter_networks(n_networks: int):
         block += 1
 
 
+# v6 tiling mirrors the v4 scheme under 2600::/12 (realistic global-
+# unicast space; a real GeoLite2-City carries ~0.5-1M v6 ranges):
+# /29 block ``b`` is emitted as one /29, two /30s, four /31s or eight
+# /32s by ``b % 4``.  v6 network ``i`` CONTINUES the v4 index (its
+# record is ``record_index(n_v4 + i, n_records)``), and 2600::/12 keys
+# sort after every v4-mapped key, so appending v6 entries keeps the
+# writer's sorted-path fast path.
+_SUBDIV_PER_BLOCK_V6 = {0: (29, 1), 1: (30, 2), 2: (31, 4), 3: (32, 8)}
+V6_BASE = 0x260 << 116  # 2600::/12
+_V6_BLOCK_SPAN = 1 << (128 - 29)
+MAX_V6_NETWORKS = (1 << (29 - 12)) // 4 * 15  # 491,520
+
+
+def _iter_v6_networks(n_networks: int):
+    """Yield (index, cidr) deterministically until n_networks emitted."""
+    import ipaddress
+
+    if n_networks > MAX_V6_NETWORKS:
+        raise ValueError(
+            f"v6 tiling covers at most {MAX_V6_NETWORKS} networks (asked {n_networks})"
+        )
+    i = 0
+    block = 0
+    while i < n_networks:
+        plen, cnt = _SUBDIV_PER_BLOCK_V6[block % 4]
+        start = V6_BASE + block * _V6_BLOCK_SPAN
+        step = 1 << (128 - plen)
+        for k in range(cnt):
+            if i >= n_networks:
+                break
+            yield i, f"{ipaddress.IPv6Address(start + k * step)}/{plen}"
+            i += 1
+        block += 1
+
+
 def synth_entries(
-    n_networks: int, n_records: int, make_record
+    n_networks: int, n_records: int, make_record, n_v6_networks: int = 0
 ) -> tuple[list[tuple[str, dict]], list[dict]]:
     """(cidr, record) entries over ``n_records`` SHARED record objects
     (record-object reuse is what a real DB's data-section dedup looks
@@ -115,6 +150,10 @@ def synth_entries(
     entries = [
         (cidr, records[record_index(i, n_records)]) for i, cidr in _iter_networks(n_networks)
     ]
+    entries.extend(
+        (cidr, records[record_index(n_networks + i, n_records)])
+        for i, cidr in _iter_v6_networks(n_v6_networks)
+    )
     return entries, records
 
 
@@ -124,21 +163,26 @@ def write_synthetic_geolite(
     n_city_records: int = 120_000,
     n_asn_networks: int = 500_000,
     n_asn_records: int = 70_000,
+    n_city_v6_networks: int = 0,
+    n_asn_v6_networks: int = 0,
 ) -> dict:
     """Write GeoLite2-City.mmdb + GeoLite2-ASN.mmdb shaped files into
     ``db_dir``; returns per-file network/record counts and byte sizes."""
     db_dir = Path(db_dir)
     db_dir.mkdir(parents=True, exist_ok=True)
     out = {}
-    for name, n_nets, n_recs, make in (
-        ("GeoLite2-City.mmdb", n_city_networks, n_city_records, city_record),
-        ("GeoLite2-ASN.mmdb", n_asn_networks, n_asn_records, asn_record),
+    for name, n_nets, n_v6, n_recs, make in (
+        ("GeoLite2-City.mmdb", n_city_networks, n_city_v6_networks,
+         n_city_records, city_record),
+        ("GeoLite2-ASN.mmdb", n_asn_networks, n_asn_v6_networks,
+         n_asn_records, asn_record),
     ):
-        entries, _ = synth_entries(n_nets, n_recs, make)
+        entries, _ = synth_entries(n_nets, n_recs, make, n_v6_networks=n_v6)
         path = db_dir / name
         write_mmdb(path, entries, database_type=name.split(".")[0])
         out[name] = {
             "networks": n_nets,
+            "v6_networks": n_v6,
             "distinct_records": n_recs,
             "bytes": path.stat().st_size,
         }
@@ -159,3 +203,23 @@ def expected_city_record_index(addr_int: int, n_networks: int, n_records: int) -
     if i >= n_networks:
         return None
     return record_index(i, n_records)
+
+
+def expected_city_v6_record_index(
+    addr_int: int, n_v4_networks: int, n_v6_networks: int, n_records: int
+) -> int | None:
+    """Independent oracle for the v6 tiling: which distinct-record
+    index should a 128-bit v6 address resolve to?  Mirrors
+    :func:`expected_city_record_index` for the 2600::/12 scheme."""
+    rel = addr_int - V6_BASE
+    if rel < 0:
+        return None
+    block = rel // _V6_BLOCK_SPAN
+    plen, cnt = _SUBDIV_PER_BLOCK_V6[block % 4]
+    step = 1 << (128 - plen)
+    k = (rel - block * _V6_BLOCK_SPAN) // step
+    full, rem = divmod(block, 4)
+    i = full * 15 + sum(_SUBDIV_PER_BLOCK_V6[b][1] for b in range(rem)) + k
+    if i >= n_v6_networks:
+        return None
+    return record_index(n_v4_networks + i, n_records)

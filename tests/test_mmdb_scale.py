@@ -192,3 +192,61 @@ def test_geoip_asn_string_end_to_end_spark(spark, synth_dir):
     for a in addrs:
         j = mmdb_synth.expected_city_record_index(a, N_ASN, N_ASN_REC)
         assert got[a] == f"AS{1000 + j} Synthetic Org {j} LLC"
+
+
+def test_v6_tiling_end_to_end(tmp_path):
+    """v6 networks (2600::/12 tiling) through write -> decode ->
+    FlatTable split index: v4 keys hit the uint32 side, v6 keys the
+    |S16 remainder, both matching the arithmetic oracle; outside-range
+    v4 and v6 addresses miss."""
+    import pandas as pd
+
+    from polars_iptools_spark.functions._enrich import build_geoip_tables
+    from polars_iptools_spark.functions._ipparse import pack_ip_series_s16
+
+    NV4, NV6, NREC = 10_000, 5_000, 800
+    mmdb_synth.write_synthetic_geolite(
+        tmp_path,
+        n_city_networks=NV4,
+        n_city_records=NREC,
+        n_asn_networks=3_000,
+        n_asn_records=200,
+        n_city_v6_networks=NV6,
+        n_asn_v6_networks=1_000,
+    )
+    city = build_geoip_tables(tmp_path)["city"]
+    assert len(city.lo4) == NV4 and len(city.lo6) == NV6
+
+    tests = []
+    for a in range(0, NV4 * 8192 // 2, 1_234_567):
+        tests.append(
+            (str(ipaddress.IPv4Address(a)),
+             mmdb_synth.expected_city_record_index(a, NV4, NREC))
+        )
+    span = mmdb_synth._V6_BLOCK_SPAN
+    for rel in range(0, NV6 * span // 4, 97 * span // 16 + 12345):
+        ai = mmdb_synth.V6_BASE + rel
+        tests.append(
+            (str(ipaddress.IPv6Address(ai)),
+             mmdb_synth.expected_city_v6_record_index(ai, NV4, NV6, NREC))
+        )
+    tests.append(("203.0.113.9", None))   # past the v4 tiling
+    tests.append(("2800::1", None))       # past the v6 tiling
+    assert any(e is not None for _, e in tests[-20:-2])  # v6 hits sampled
+
+    kb, valid = pack_ip_series_s16(pd.Series([t[0] for t in tests]))
+    rows = city.lookup_s16(kb, valid)
+    for (ip_s, exp), r in zip(tests, rows):
+        want = f"City {exp}" if exp is not None else ""
+        assert city.columns["city"][r] == want, ip_s
+
+    # stdlib containment agreement on sampled v6 networks
+    sampled = [(i, c) for i, c in mmdb_synth._iter_v6_networks(NV6) if i % 997 == 0]
+    assert len(sampled) > 3
+    for i, cidr in sampled:
+        net = ipaddress.ip_network(cidr)
+        exp = mmdb_synth.expected_city_v6_record_index(
+            int(net.network_address), NV4, NV6, NREC
+        )
+        assert exp == mmdb_synth.record_index(NV4 + i, NREC)
+        assert net.broadcast_address in net
