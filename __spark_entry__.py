@@ -372,13 +372,16 @@ def _spur_fixture_dir() -> str:
 # machinery — this entry validates the DECODER, not just the lookup.
 _SYNTH_CITY_N, _SYNTH_CITY_REC = 120_000, 9_000
 _SYNTH_ASN_N, _SYNTH_ASN_REC = 30_000, 5_000
+_SYNTH_CITY_N6, _SYNTH_ASN_N6 = 40_000, 10_000
 
 
 def _synth_geolite_dir() -> str:
     import os
     from polars_iptools_spark.sources.mmdb_synth import write_synthetic_geolite
 
-    out = f"{_oracle_dir()}/synth_geolite"
+    # dir name encodes the v6 addition so a cached pre-v6 build from an
+    # earlier gate run can never be picked up by the v6 query
+    out = f"{_oracle_dir()}/synth_geolite_v6"
     if not os.path.exists(f"{out}/GeoLite2-City.mmdb"):
         write_synthetic_geolite(
             out,
@@ -386,8 +389,45 @@ def _synth_geolite_dir() -> str:
             n_city_records=_SYNTH_CITY_REC,
             n_asn_networks=_SYNTH_ASN_N,
             n_asn_records=_SYNTH_ASN_REC,
+            n_city_v6_networks=_SYNTH_CITY_N6,
+            n_asn_v6_networks=_SYNTH_ASN_N6,
         )
     return out
+
+
+_V6_PROBES: list | None = None
+
+
+def _synth_v6_probes() -> list:
+    """Pinned (ip, tiling_index) probes across the 2600::/12 tiling of
+    the synthesized pair: every 173rd v6 network at an interior address,
+    plus past-the-tiling and out-of-geometry misses.  The ip <-> index
+    mapping is stdlib-derived (``ipaddress``) and independently cross-
+    checked against containment in tests/test_mmdb_scale.py; the oracle
+    recomputes every enriched FIELD from the index arithmetic, so the
+    whole v6 write -> decode -> split-index -> |S16-remainder lookup
+    chain sits under the value hash."""
+    global _V6_PROBES
+    if _V6_PROBES is None:
+        import ipaddress
+
+        from polars_iptools_spark.sources import mmdb_synth as ms
+
+        rows = []
+        for i, cidr in ms._iter_v6_networks(_SYNTH_CITY_N6 + 1004):
+            # sample in-tiling networks; keep a few past-city-tiling
+            # indices too (written in neither DB -> full miss, caps the
+            # `i < N` guards in the oracle)
+            keep = (i % 173 == 0) if i < _SYNTH_CITY_N6 else (i % 251 == 0)
+            if not keep:
+                continue
+            net = ipaddress.ip_network(cidr)
+            off = (net.num_addresses - 1) // 3
+            rows.append((str(net.network_address + off), i))
+        rows.append(("2400::1", None))  # below the 2600::/12 base
+        rows.append(("2800::1", None))  # outside the /12, same family
+        _V6_PROBES = rows
+    return _V6_PROBES
 
 
 
@@ -620,6 +660,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             g["postalcode"].alias("postalcode"),
             g["timezone"].alias("timezone"),
             g["latitude"].alias("latitude"),
+        )
+
+    def q_geoip_synth_scale_v6(spark, sf):
+        # v6 side of the same synthesized pair: pinned probe ips across
+        # the 2600::/12 tiling (stdlib-derived; containment cross-
+        # checked in pytest), every field recomputed by DuckDB from the
+        # tiling index — exercises the |S16 remainder path of the split
+        # interval index end-to-end (write -> decode -> lookup)
+        g = ip.geoip.full("ip", db_dir=_synth_geolite_dir())
+        probes = spark.createDataFrame(
+            [(r, s) for r, (s, _i) in enumerate(_synth_v6_probes())],
+            "rid int, ip string",
+        )
+        return probes.select(
+            "rid",
+            g["asnnum"].alias("asnnum"),
+            g["asnorg"].alias("asnorg"),
+            g["city"].alias("city"),
+            g["country"].alias("country"),
+            g["postalcode"].alias("postalcode"),
+            g["timezone"].alias("timezone"),
+            g["latitude"].alias("latitude"),
+            g["longitude"].alias("longitude"),
         )
 
     def q_exact_dedup(spark, sf):
@@ -1075,6 +1138,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geoip_full": q_geoip_full,
         "spur_full": q_spur_full,
         "geoip_synth_scale": q_geoip_synth_scale,
+        "geoip_synth_scale_v6": q_geoip_synth_scale_v6,
         "exact_dedup": q_exact_dedup,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
@@ -1297,6 +1361,44 @@ SELECT rid,
   CASE WHEN valid IS DISTINCT FROM TRUE THEN NULL
        WHEN jc IS NULL THEN 0.0
        ELSE -90.0 + (jc % 18000) / 100.0 END AS latitude
+FROM jj""",
+        # v6 side of the synthesized pair: probe rows are pinned
+        # (rid, tiling-index) literals (the ip <-> index mapping is
+        # stdlib ipaddress arithmetic, containment-checked in pytest);
+        # every enriched FIELD is recomputed here from the index, with
+        # the v6 record sequence continuing the v4 one (record j =
+        # ((n_v4 + i) * 2654435761) % n_rec), so the engine's v6
+        # writer/decoder/split-index/|S16-lookup chain is what the
+        # value hash actually tests
+        "geoip_synth_scale_v6": "WITH v(rid, i) AS (VALUES "
+        + ",".join(
+            f"({r},{'NULL' if i is None else i})"
+            for r, (_s, i) in enumerate(_synth_v6_probes())
+        )
+        + f"""),
+jj AS (
+  SELECT rid,
+         CASE WHEN i IS NOT NULL AND i < {_SYNTH_CITY_N6}
+              THEN (({_SYNTH_CITY_N} + i) * 2654435761) % {_SYNTH_CITY_REC} END AS jc,
+         CASE WHEN i IS NOT NULL AND i < {_SYNTH_ASN_N6}
+              THEN (({_SYNTH_ASN_N} + i) * 2654435761) % {_SYNTH_ASN_REC} END AS ja
+  FROM v
+)
+SELECT rid,
+  CASE WHEN ja IS NULL THEN 0 ELSE 1000 + ja END AS asnnum,
+  CASE WHEN ja IS NULL THEN ''
+       ELSE 'Synthetic Org ' || CAST(ja AS VARCHAR) || ' LLC' END AS asnorg,
+  CASE WHEN jc IS NULL THEN '' ELSE 'City ' || CAST(jc AS VARCHAR) END AS city,
+  CASE WHEN jc IS NULL THEN ''
+       ELSE 'Country ' || CAST(jc % 250 AS VARCHAR) END AS country,
+  CASE WHEN jc IS NULL THEN ''
+       ELSE lpad(CAST(jc % 100000 AS VARCHAR), 5, '0') END AS postalcode,
+  CASE WHEN jc IS NULL THEN ''
+       ELSE 'Zone/Region_' || CAST(jc % 400 AS VARCHAR) END AS timezone,
+  CASE WHEN jc IS NULL THEN 0.0
+       ELSE -90.0 + (jc % 18000) / 100.0 END AS latitude,
+  CASE WHEN jc IS NULL THEN 0.0
+       ELSE -180.0 + (jc % 36000) / 100.0 END AS longitude
 FROM jj""",
         # spur fixture entries are known literals -> pure CASE oracle;
         # 'nul' = null or invalid input (all-null struct per spur.rs:41-44)
