@@ -97,7 +97,10 @@ def main() -> None:
         "components_total": n_components,
         "supersteps": stats.get("supersteps"),
         "wall_sec": round(wall, 2),
+        "normalize_s": stats.get("normalize_s"),
+        "superstep_walls": stats.get("superstep_walls"),
         "loadavg_start": load_start,
+        "loadavg_end": loadavg(),
         "cpus": int(args.cpus),
         "membership_check": "pass",
     }

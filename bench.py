@@ -42,7 +42,30 @@ def force(df) -> int:
     return df.agg(F.count(F.lit(1))).collect()[0][0]
 
 
+def wait_for_quiet_window() -> float:
+    """Bounded wait for the 1-min load to drop below
+    $SPARK_GRAFT_BENCH_LOADGATE (default 3.0) before timing anything.
+
+    The sandbox has noisy-neighbor phases where every wall uniformly
+    inflates 1.5-2x (BENCH/BASELINE.md §3); a benchmark that starts
+    inside one records a number that says nothing about the engine.
+    The wait is capped at $SPARK_GRAFT_BENCH_LOADGATE_MAXWAIT seconds
+    (default 240) so a persistently busy host still produces a record,
+    and the seconds actually waited plus the start load ride along in
+    the output JSON — the gate is visible, never silent."""
+    gate = float(os.environ.get("SPARK_GRAFT_BENCH_LOADGATE", "3.0"))
+    max_wait = float(os.environ.get("SPARK_GRAFT_BENCH_LOADGATE_MAXWAIT", "240"))
+    if gate <= 0:
+        return 0.0
+    t0 = time.monotonic()
+    while time.monotonic() - t0 < max_wait and os.getloadavg()[0] > gate:
+        time.sleep(5)
+    return round(time.monotonic() - t0, 1)
+
+
 def main() -> None:
+    gate_waited = wait_for_quiet_window()
+    load_at_start = round(os.getloadavg()[0], 2)
     spark = get_spark(
         app_name="bench",
         master=f"local[{CPUS}]",
@@ -288,6 +311,8 @@ def main() -> None:
                 "docs": n_docs,
                 "derived_ip_rows": n_ips,
                 "rep_protocol": f"median of {REPS}",
+                "load_at_start": load_at_start,
+                "loadgate_waited_s": gate_waited,
                 "reps": reps,
                 "min": {k: min(v) for k, v in reps.items()},
                 "extras": extras,

@@ -48,6 +48,41 @@ def test_closure_random_graph(spark):
     assert spark_cc(spark, edges) == oracle(edges)
 
 
+@pytest.mark.parametrize("name", list(CASES))
+def test_closure_peel_from_first_superstep(spark, name):
+    """peel_after=0 forces the settled-star peel branch on every
+    superstep (the hand-built cases converge in 1-2, so the default
+    peel_after=2 never engages it there); results must be identical to
+    the oracle, self-loops included."""
+    edges = CASES[name]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    rows = connected_components(df, peel_after=0).collect()
+    assert {r.node: r.component for r in rows} == oracle(edges)
+
+
+def test_closure_peel_equivalence_random(spark):
+    """On a graph needing >2 supersteps, peeling (default) and
+    peel_after=None (never peel) must produce identical assignments."""
+    import random
+
+    rnd = random.Random(7)
+    # sparse: 400 nodes, 260 edges -> long thin components, several
+    # supersteps, so stars freeze while others still churn
+    edges = [(rnd.randrange(400), rnd.randrange(400)) for _ in range(260)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    stats: dict = {}
+    peeled = {
+        r.node: r.component
+        for r in connected_components(df, stats=stats, peel_after=0).collect()
+    }
+    plain = {
+        r.node: r.component
+        for r in connected_components(df, peel_after=None).collect()
+    }
+    assert peeled == plain == oracle(edges)
+    assert stats["supersteps"] >= 2, stats
+
+
 def test_closure_giant_component_bounded_supersteps(spark):
     """Skew-robust closure: one component spanning ~8% of nodes — as a
     CHAIN, the worst case for star contraction (maximum diameter) —
