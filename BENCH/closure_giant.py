@@ -98,6 +98,7 @@ def main() -> None:
         "supersteps": stats.get("supersteps"),
         "wall_sec": round(wall, 2),
         "normalize_s": stats.get("normalize_s"),
+        "peel_after": stats.get("peel_after"),
         "superstep_walls": stats.get("superstep_walls"),
         "loadavg_start": load_start,
         "loadavg_end": loadavg(),
