@@ -433,3 +433,68 @@ def simhash_pairs(
         .where(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def embedding_dedup(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    id_col: str = "doc_id",
+    emb_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_tables: int = 8,
+    n_planes: int = 12,
+    seed: int = 7,
+    max_bucket_size: int | None = 2000,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate dedup over a documents table.
+
+    The semantic sibling of :func:`exact_dedup`: two documents are
+    duplicates when the cosine similarity of their embeddings is
+    ``>= threshold``, and duplicate groups are the TRANSITIVE closure
+    of that relation (A~B and B~C collapse to one group even if A and
+    C fall below the threshold — the standard near-dup contract, so a
+    drifting chain of paraphrases dedups to one kept document).
+
+    Pure composition of the scale-shaped primitives: banded
+    multi-table hyperplane LSH candidate generation + exact cosine
+    verification (:func:`..similarity.lsh_near_duplicates` — the
+    corpus is never all-paired) and large-star/small-star
+    :func:`..closure.connected_components` for the grouping.
+
+    Returns one row per document: ``(doc_id, keep_id, is_dup)`` where
+    ``keep_id`` is the minimum document id of the near-dup component;
+    documents without an embedding row, or without any near-dup, keep
+    themselves.
+    """
+    from .closure import connected_components
+    from .similarity import lsh_near_duplicates
+
+    ids = docs.select(F.col(id_col))
+    embs = ids.join(
+        embeddings.select(F.col(emb_id_col).alias(id_col), F.col(vec_col)),
+        id_col,
+    )
+    pairs = lsh_near_duplicates(
+        embs,
+        dim=dim,
+        threshold=threshold,
+        n_tables=n_tables,
+        n_planes=n_planes,
+        seed=seed,
+        id_col=id_col,
+        vec_col=vec_col,
+        max_bucket_size=max_bucket_size,
+    )
+    comps = connected_components(
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    return (
+        ids.join(comps.withColumnRenamed("node", id_col), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("component", F.col(id_col)).alias("keep_id"),
+        )
+        .withColumn("is_dup", F.col("keep_id") != F.col(id_col))
+    )

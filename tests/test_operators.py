@@ -292,3 +292,41 @@ def test_ivf_topk_recall_vs_bruteforce(spark):
         hits += r.vec_id in exact_sets[r.query_id]
     assert total == 25
     assert hits / total >= 0.8, (hits, total)
+
+
+def test_embedding_dedup_transitive_groups(spark):
+    """Chain A~B~C (each adjacent pair >= threshold, A-C below) must
+    collapse to ONE keep group; singletons and docs without an
+    embedding keep themselves."""
+    # unit vectors in a 2-D subspace: cos(angle) controls similarity
+    def vec(theta, dim=8):
+        v = np.zeros(dim)
+        v[0], v[1] = np.cos(theta), np.sin(theta)
+        return [float(x) for x in v]
+
+    step = 0.20  # cos(0.20)=0.980 adjacent, cos(0.40)=0.921 < 0.95
+    emb_rows = [
+        (0, vec(0.0)),
+        (1, vec(step)),
+        (2, vec(2 * step)),
+        (3, vec(np.pi / 2)),   # orthogonal singleton
+        (5, vec(np.pi)),       # opposite singleton
+    ]
+    docs = spark.createDataFrame(
+        [(i,) for i in (0, 1, 2, 3, 4, 5)], "doc_id long"
+    )  # doc 4 has NO embedding row
+    embs = spark.createDataFrame(emb_rows, "vec_id long, embedding array<double>")
+    out = {
+        r.doc_id: (r.keep_id, r.is_dup)
+        for r in dedup.embedding_dedup(
+            docs, embs, dim=8, threshold=0.95, n_tables=48, n_planes=4
+        ).collect()
+    }
+    assert out == {
+        0: (0, False),
+        1: (0, True),
+        2: (0, True),  # transitive: cos(0, 2) = 0.921 < 0.95 yet same group
+        3: (3, False),
+        4: (4, False),
+        5: (5, False),
+    }
