@@ -188,8 +188,13 @@ def pairwise_f1(
 
         def _sum_pairs(*keys):
             g = lab.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))
+            # integer DIV, not /: the float sum loses exactness past
+            # 2^53 total pairs (reachable with hot entities at corpus
+            # scale); n*(n-1) is even so DIV 2 is exact, and ANSI mode
+            # turns a genuine long overflow into an error, never a
+            # silently-wrong F1
             row = g.agg(
-                F.sum(F.col("n") * (F.col("n") - 1) / 2).alias("p")
+                F.sum(F.expr("n * (n - 1) DIV 2")).alias("p")
             ).collect()[0]
             return int(row.p or 0)
 
