@@ -330,3 +330,19 @@ def test_embedding_dedup_transitive_groups(spark):
         4: (4, False),
         5: (5, False),
     }
+
+
+def test_embedding_dedup_no_pairs_is_identity(spark):
+    """Zero near-dup pairs (orthogonal/opposite vectors at a high
+    threshold) must still return every document as its own keeper —
+    the closure-over-empty-edges path."""
+    docs = spark.createDataFrame([(i,) for i in range(5)], "doc_id long")
+    embs = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [-1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = sorted(
+        (r.doc_id, r.keep_id, r.is_dup)
+        for r in dedup.embedding_dedup(docs, embs, dim=2, threshold=0.99).collect()
+    )
+    assert out == [(i, i, False) for i in range(5)]
