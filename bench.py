@@ -312,6 +312,11 @@ def main() -> None:
                 "derived_ip_rows": n_ips,
                 "rep_protocol": f"median of {REPS}",
                 "load_at_start": load_at_start,
+                # end-of-run 1m/5m load: a clean start does not imply a
+                # clean run in this shared sandbox (neighbor bursts
+                # arrive mid-flight) — this pins whether a slow total
+                # was the engine or the window
+                "load_at_end": [round(x, 2) for x in os.getloadavg()[:2]],
                 "loadgate_waited_s": gate_waited,
                 "reps": reps,
                 "min": {k: min(v) for k, v in reps.items()},
