@@ -148,6 +148,18 @@ def main() -> None:
             args.state_rows,
         )
 
+        # ---- 3b. JVM-native first-seen (streaming dropDuplicates) --------
+        small2 = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", mpt)
+            .parquet(src)
+        ).where(F.col("event_id") < args.state_rows)
+        run_stream(
+            se.first_seen_indicators_native(small2.select("ts", "ip")),
+            "first_seen_native",
+            args.state_rows,
+        )
+
         out = Path(__file__).resolve().parent / "streaming_scale_result.json"
         out.write_text(json.dumps(result, indent=1))
         print(json.dumps(result))

@@ -137,6 +137,29 @@ def first_seen_indicators(indicators: DataFrame) -> DataFrame:
     )
 
 
+def first_seen_indicators_native(indicators: DataFrame) -> DataFrame:
+    """JVM-native fast path of :func:`first_seen_indicators`: streaming
+    ``dropDuplicates`` keeps exactly one row per key ever seen (state =
+    one compact row per distinct key — the same bound) and emits it in
+    the key's first micro-batch, with zero Python state workers.
+
+    Measured 8.4x the stateful op's throughput at 100k keys
+    (``BENCH/streaming_scale.py``) because `applyInPandasWithState`
+    pays a per-group Python crossing — at high key cardinality that
+    overhead IS the cost.
+
+    Contract differences vs the stateful op (why both exist): no
+    running ``hits`` counter, and ``first_ts`` is the row the state
+    store happened to see first within the key's first micro-batch
+    (nondeterministic among same-batch ties) rather than that batch's
+    minimum.  The emitted KEY set and its batch-of-first-emission are
+    identical.
+    """
+    return indicators.select(
+        "ip", F.col("ts").alias("first_ts")
+    ).dropDuplicates(["ip"])
+
+
 def enrich_stream(stream: DataFrame, ip_col: str | Column, db_dir: str | None = None) -> DataFrame:
     """Geo-enrich a streaming indicator column; the broadcast interval
     table is resolved once at plan time, exactly as in batch."""

@@ -154,3 +154,43 @@ def test_windowed_event_stats_equals_batch(spark, tmp_path):
         ).collect()
     }
     assert got == batch and len(got) >= 6
+
+
+def test_first_seen_native_matches_stateful_keys(spark, tmp_path):
+    """The JVM-native dropDuplicates fast path emits the SAME key set
+    as the stateful op, one row per distinct indicator, with first_ts
+    drawn from that indicator's own rows."""
+    base = dt.datetime(2026, 1, 1)
+    in_dir = tmp_path / "native_in"
+    in_dir.mkdir()
+    batch1 = [(base, "first 67.43.156.1 here"), (base, "also 8.8.8.8")]
+    batch2 = [
+        (base + dt.timedelta(minutes=1), "again 67.43.156.1 repeat"),
+        (base + dt.timedelta(minutes=1), "new 9.9.9.9"),
+    ]
+    spark.createDataFrame(batch1, SCHEMA).coalesce(1).write.parquet(str(in_dir / "b1"))
+    spark.createDataFrame(batch2, SCHEMA).coalesce(1).write.parquet(str(in_dir / "b2"))
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir / "b*"))
+    )
+    ind = se.extract_indicators_stream(stream, "text", "ts")
+    q = (
+        se.first_seen_indicators_native(ind)
+        .writeStream.format("memory")
+        .queryName("first_seen_native")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_native"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.table("first_seen_native").collect()
+    assert len(rows) == 3  # one row per distinct indicator
+    by_ip = {r.ip: r.first_ts for r in rows}
+    assert set(by_ip) == {"67.43.156.1", "8.8.8.8", "9.9.9.9"}
+    # 67.43.156.1 appears in both batches; its first micro-batch row
+    # carries ts=base, so the native path must emit base, not +1min
+    assert by_ip["67.43.156.1"] == base
+    assert by_ip["9.9.9.9"] == base + dt.timedelta(minutes=1)
