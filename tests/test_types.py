@@ -128,3 +128,31 @@ def test_metadata_ipc_roundtrip(spark, tmp_path):
     ]
     nums = [r.ip4 for r in back.select("ip4").collect()]
     assert sorted(n for n in nums if n is not None) == [134744072]
+
+
+def test_ndjson_sink_roundtrip(spark, tmp_path):
+    """ndjson sink parity (reference run.py:29 writes ndjson): an
+    enriched frame with struct + array columns survives
+    df.write.json -> spark.read.json with values intact."""
+    import polars_iptools_spark as ip
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("x 8.8.8.8 y", "8.8.8.8"), ("no ips", "1.2.3.4")],
+        "text string, ipaddr string",
+    ).select(
+        "ipaddr",
+        ip.extract_ips("text").alias("ips"),
+        F.struct(
+            ip.is_private("ipaddr").alias("priv"),
+            ip.ipv4_to_numeric("ipaddr").alias("num"),
+        ).alias("meta"),
+    )
+    out = str(tmp_path / "nd.json")
+    df.write.json(out)
+    back = spark.read.json(out)
+    rows = {r.ipaddr: r for r in back.collect()}
+    assert rows["8.8.8.8"].ips == ["8.8.8.8"]
+    assert rows["1.2.3.4"].ips == []
+    assert rows["8.8.8.8"].meta.num == 134744072
+    assert rows["1.2.3.4"].meta.priv is False
