@@ -346,3 +346,50 @@ def test_embedding_dedup_no_pairs_is_identity(spark):
         for r in dedup.embedding_dedup(docs, embs, dim=2, threshold=0.99).collect()
     )
     assert out == [(i, i, False) for i in range(5)]
+
+
+def test_embedding_dedup_matches_bruteforce_oracle(spark):
+    """Randomized pin: embedding_dedup (high-recall LSH config) must
+    equal the brute-force all-pairs-cosine + networkx-components
+    oracle on clustered random vectors."""
+    import networkx as nx
+
+    rng = np.random.default_rng(23)
+    dim, thr = 16, 0.92
+    vecs = {}
+    vid = 0
+    for c in range(12):  # 12 clusters of 1-5 noisy copies of a center
+        center = rng.standard_normal(dim)
+        for _ in range(int(rng.integers(1, 6))):
+            vecs[vid] = center + rng.standard_normal(dim) * 0.05
+            vid += 1
+    ids = sorted(vecs)
+    M = np.stack([vecs[i] for i in ids])
+    M = M / np.linalg.norm(M, axis=1, keepdims=True)
+    S = M @ M.T
+    g = nx.Graph()
+    g.add_nodes_from(ids)
+    for a in range(len(ids)):
+        for b in range(a + 1, len(ids)):
+            # guard flakiness: the construction must not land pairs
+            # razor-close to the threshold
+            assert abs(S[a, b] - thr) > 1e-3
+            if S[a, b] >= thr:
+                g.add_edge(ids[a], ids[b])
+    expect = {}
+    for comp in nx.connected_components(g):
+        keep = min(comp)
+        for n in comp:
+            expect[n] = keep
+    docs = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    embs = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in ids],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r.doc_id: r.keep_id
+        for r in dedup.embedding_dedup(
+            docs, embs, dim=dim, threshold=thr, n_tables=64, n_planes=4
+        ).collect()
+    }
+    assert got == expect
