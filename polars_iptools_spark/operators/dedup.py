@@ -467,6 +467,18 @@ def embedding_dedup(
     ``keep_id`` is the minimum document id of the near-dup component;
     documents without an embedding row, or without any near-dup, keep
     themselves.
+
+    Recall caveat (the closure is exact over the edges it is GIVEN,
+    but candidate generation is best-effort, as in
+    :func:`..similarity.lsh_near_duplicates`): hyperplane LSH is
+    probabilistic-recall — a true near-dup pair landing in no common
+    bucket across the ``n_tables`` tables is never verified — and the
+    ``max_bucket_size`` skew guard silently drops candidate pairs from
+    oversized buckets.  A missed edge splits a duplicate group, and
+    because grouping is transitive, one missed BRIDGE edge splits a
+    chain into two components.  Raise ``n_tables`` / lower
+    ``n_planes`` / lift ``max_bucket_size`` for recall, at candidate-
+    volume cost; treat ``keep_id`` as best-effort, not exact.
     """
     from .closure import connected_components
     from .similarity import lsh_near_duplicates

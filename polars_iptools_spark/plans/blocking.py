@@ -27,32 +27,76 @@ from ..functions import iptools
 
 
 def record_id(*cols: str) -> Column:
-    """Deterministic 128-bit record identity as a 16-byte BINARY key:
-    two independently-seeded xxhash64 halves (the seed is a prepended
-    literal column, which perturbs the whole hash state).
+    """Deterministic 64-bit record identity as a native LONG:
+    ``xxhash64(1, *cols)``.
 
-    Why 128 bits: a single 64-bit key over a 10^12-record corpus gives
-    ~(10^12)^2 / 2^65 ≈ 27k expected birthday collisions — silently
-    merging distinct records into one rid and corrupting pairs, edges
-    and clusters.  At 128 bits the expectation is (10^12)^2 / 2^129
-    ≈ 1.5e-15 collisions — negligible at any realistic corpus size.
+    Why a long and not a wider key: the rid is the join/sort key of the
+    pipeline's three big shuffles (pairs, edges, every closure
+    superstep), and fixed-width 8-byte keys are the ONLY encoding
+    Tungsten sorts/joins at full speed — measured on a 14M-edge clique
+    closure at local[8]: 33.6 s as longs vs 73.3 s as 32-char hex and
+    74.1 s as binary(16) (variable-length key handling, not key width,
+    is the cost; BENCH/BASELINE.md §8).  That 2.2x tax ran through the
+    edge-heavy closure's dominant stage.
 
-    Why binary, not hex text: BinaryType orders/joins/groups fine in
-    Spark and halves the key bytes through the pipeline's three big
-    shuffles (pairs, edges, closure supersteps).  ANSI mode forbids
-    CAST(BIGINT AS BINARY), so the bytes go through unhex(hex(...)).
+    Collision exposure: a 64-bit key over n records expects
+    ~n^2 / 2^65 birthday collisions — ≈2.7e-9 at 10M records,
+    ≈2.7e-5 at 1B, ≈27k at the 10^12 north-star scale.  A collision
+    silently merges two records into one rid, so the pipeline exposes
+    :func:`audit_rid_collisions` (one map-side-combinable pass) and
+    ``run_pipeline(audit_rids=True)`` runs it up front and raises on a
+    hit; at 10^12 scale run the audit once per corpus snapshot and
+    remap the handful of colliding records (or switch their rid to
+    :func:`record_id128`, which the committed output mapping can carry
+    without touching the hot shuffles).
+    """
+    return F.xxhash64(F.lit(1), *cols)
+
+
+def record_id128(*cols: str) -> Column:
+    """128-bit record identity as a 16-byte BINARY key: two
+    independently-seeded xxhash64 halves (the prepended literal seed
+    perturbs the whole hash state); expectation ≈ n^2 / 2^129
+    collisions — negligible at any realistic corpus size (1.5e-15 at
+    10^12 records).
+
+    Not the hot-path key (see :func:`record_id` for the measured 2.2x
+    Tungsten tax of variable-length keys in the closure shuffles) —
+    use it for committed output mappings / audit tables where identity
+    must survive corpus scales at which 64 bits can collide.  ANSI
+    mode forbids CAST(BIGINT AS BINARY), so the bytes go through
+    unhex(hex(...)).
     """
     h1 = F.lpad(F.hex(F.xxhash64(F.lit(1), *cols)), 16, "0")
     h2 = F.lpad(F.hex(F.xxhash64(F.lit(2), *cols)), 16, "0")
     return F.unhex(F.concat(h1, h2))
 
 
+def audit_rid_collisions(corpus: DataFrame, *cols: str) -> int:
+    """Count 64-bit rid collisions in a corpus: rids carrying more than
+    one distinct identity tuple.  One linear, map-side-combinable
+    aggregation pass (groupBy rid → countDistinct identity); returns
+    the number of COLLIDING RIDS (0 in any healthy corpus — see the
+    birthday math in :func:`record_id`)."""
+    key_cols = list(cols) or ["repo", "path", "commit"]
+    return (
+        corpus.select(
+            record_id(*key_cols).alias("rid"), F.struct(*key_cols).alias("k")
+        )
+        .groupBy("rid")
+        .agg(F.count_distinct("k").alias("n"))
+        .where(F.col("n") > 1)
+        .count()
+    )
+
+
 def extract_indicators(corpus: DataFrame, ipv6: bool = False) -> DataFrame:
     """corpus -> one row per (record, public indicator IP).
 
-    rid is a deterministic 128-bit key of the record identity (see
-    :func:`record_id`); the content sha256 invariant column rides along
-    (BASELINE.json).
+    rid is a deterministic 64-bit LONG key of the record identity (see
+    :func:`record_id` for the fixed-width-shuffle rationale and the
+    collision math/audit); the content sha256 invariant column rides
+    along (BASELINE.json).
     """
     base = corpus.select(
         record_id("repo", "path", "commit").alias("rid"),

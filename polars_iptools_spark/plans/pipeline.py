@@ -52,9 +52,15 @@ def run_pipeline(
     max_block_records: int = 256,
     mmdb_dir: str | None = None,
     ipv6: bool = False,
+    audit_rids: bool = False,
 ) -> dict:
     """Returns dict with 'clusters' (rid, commit, cluster_id), 'edges',
     'metrics' (per-stage lineage).
+
+    ``audit_rids``: run :func:`blocking.audit_rid_collisions` over the
+    corpus first and raise if any 64-bit rid collides (one linear
+    pass; see the birthday math in :func:`blocking.record_id` — at
+    10^12-record scale turn this on once per corpus snapshot).
 
     Dirty-corpus caveat (documented tradeoff, see
     blocking.extract_indicators): EXACT-duplicate corpus rows — same
@@ -67,6 +73,14 @@ def run_pipeline(
     once upstream on (repo, path, commit) — cheaper than a wide
     (rid, ip) dropDuplicates here.
     """
+    if audit_rids:
+        n_bad = blocking.audit_rid_collisions(corpus)
+        if n_bad:
+            raise ValueError(
+                f"{n_bad} rid collision(s): distinct (repo, path, commit) "
+                "tuples share a 64-bit rid — remap the colliding records "
+                "or key them by blocking.record_id128"
+            )
     runner = StageRunner(spark, ckpt_dir)
     _to_unpersist: list[DataFrame] = []
 
@@ -191,8 +205,9 @@ def pairwise_f1(
             # integer DIV, not /: the float sum loses exactness past
             # 2^53 total pairs (reachable with hot entities at corpus
             # scale); n*(n-1) is even so DIV 2 is exact, and ANSI mode
-            # turns a genuine long overflow into an error, never a
-            # silently-wrong F1
+            # (pinned true in session.get_spark, not just inherited
+            # from Spark 4.x defaults) turns a genuine long overflow
+            # into an error, never a silently-wrong F1
             row = g.agg(
                 F.sum(F.expr("n * (n - 1) DIV 2")).alias("p")
             ).collect()[0]

@@ -41,6 +41,12 @@ def get_spark(
     cores = os.cpu_count() or 8
     defaults = {
         "spark.sql.session.timeZone": "UTC",
+        # Pinned, not inherited: the exact-F1 counting path
+        # (plans/pipeline.py) relies on a genuine long overflow of
+        # n*(n-1) raising instead of wrapping — true by default on
+        # Spark 4.x but NOT on 3.x; pinning makes the exactness claim
+        # environment-independent.
+        "spark.sql.ansi.enabled": "true",
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         "spark.sql.execution.arrow.maxRecordsPerBatch": _ARROW_BATCH,
         "spark.sql.adaptive.enabled": "true",

@@ -154,6 +154,14 @@ def first_seen_indicators_native(indicators: DataFrame) -> DataFrame:
     (nondeterministic among same-batch ties) rather than that batch's
     minimum.  The emitted KEY set and its batch-of-first-emission are
     identical.
+
+    State retention: ``dropDuplicates`` here carries NO watermark, so
+    state rows are never evicted — state grows with distinct-key
+    cardinality forever (the same bound as the stateful op, which also
+    never times out, but worth knowing for a continuous deployment: the
+    query can never reclaim state).  For bounded retention use
+    ``dropDuplicatesWithinWatermark`` with a watermarked ``ts``, which
+    trades "first ever" for "first within the watermark horizon".
     """
     return indicators.select(
         "ip", F.col("ts").alias("first_ts")

@@ -238,3 +238,41 @@ def test_pipeline_ipv6_end_to_end(spark, tmp_path):
     # the blocking key really used the /48 prefix, not token slicing
     keys = {r.block_key for r in res["blocked"].select("block_key").collect()}
     assert all("::/48|" in k for k in keys), keys
+
+
+def test_rid_is_fixed_width_long_and_collision_free(spark, corpus_truth):
+    """The hot-path rid is a native LONG (fixed-width Tungsten sort
+    key — the measured 2.2x closure-shuffle win vs variable-length
+    encodings, BENCH/BASELINE.md §8), with zero 64-bit collisions on
+    the corpus; record_id128 stays available as the 16-byte audit key."""
+    corpus, _ = corpus_truth
+    ind = blocking.extract_indicators(corpus)
+    assert dict(ind.dtypes)["rid"] == "bigint"
+    assert blocking.audit_rid_collisions(corpus) == 0
+    r128 = corpus.select(
+        blocking.record_id128("repo", "path", "commit").alias("rid128")
+    )
+    assert dict(r128.dtypes)["rid128"] == "binary"
+    lens = [x.l for x in r128.select(F.length("rid128").alias("l")).distinct().collect()]
+    assert lens == [16]
+    # the two halves are independently seeded: the long rid is NOT a
+    # prefix/suffix of rid128-as-one-hash (would halve the audit value)
+    n128 = r128.distinct().count()
+    n64 = corpus.select(
+        blocking.record_id("repo", "path", "commit").alias("rid")
+    ).distinct().count()
+    assert n128 == n64 == corpus.dropDuplicates(["repo", "path", "commit"]).count()
+
+
+def test_pipeline_audit_rids_gate(spark, corpus_truth, tmp_path, monkeypatch):
+    """run_pipeline(audit_rids=True) runs clean on a healthy corpus and
+    raises when the audit reports collisions."""
+    from polars_iptools_spark.plans import pipeline as pl
+
+    corpus, _ = corpus_truth
+    small = corpus.limit(20)
+    res = run_pipeline(spark, small, str(tmp_path / "ck_audit"), audit_rids=True)
+    assert res["clusters"].count() == 20
+    monkeypatch.setattr(pl.blocking, "audit_rid_collisions", lambda c: 3)
+    with pytest.raises(ValueError, match="rid collision"):
+        run_pipeline(spark, small, str(tmp_path / "ck_audit2"), audit_rids=True)

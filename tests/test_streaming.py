@@ -2,6 +2,8 @@
 windowed watermarked aggregation -> memory sink, availableNow trigger."""
 
 import datetime as dt
+import os
+import time
 
 from pyspark.sql import functions as F
 from pyspark.sql.types import StringType, StructField, StructType, TimestampType
@@ -9,6 +11,17 @@ from pyspark.sql.types import StringType, StructField, StructType, TimestampType
 from polars_iptools_spark.streaming import enrich as se
 
 from conftest import MAXMIND_TEST_DIR
+
+
+def _pin_batch_order(in_dir):
+    """FileStreamSource orders files by modification timestamp; on a
+    coarse-granularity filesystem two back-to-back writes can tie and
+    swap the micro-batches (flaking first_ts assertions that assume
+    b1 processes before b2).  Pin b1 strictly older than b2."""
+    now = time.time()
+    for sub, mtime in (("b1", now - 60), ("b2", now)):
+        for p in (in_dir / sub).rglob("*"):
+            os.utime(p, (mtime, mtime))
 
 SCHEMA = StructType(
     [StructField("ts", TimestampType(), True), StructField("text", StringType(), True)]
@@ -170,6 +183,7 @@ def test_first_seen_native_matches_stateful_keys(spark, tmp_path):
     ]
     spark.createDataFrame(batch1, SCHEMA).coalesce(1).write.parquet(str(in_dir / "b1"))
     spark.createDataFrame(batch2, SCHEMA).coalesce(1).write.parquet(str(in_dir / "b2"))
+    _pin_batch_order(in_dir)
     stream = (
         spark.readStream.schema(SCHEMA)
         .option("maxFilesPerTrigger", 1)
