@@ -52,10 +52,13 @@ def main() -> None:
         except OSError:
             return None
 
+    from BENCH.sysload import ExternalCpuMeter
+
     load_start = _load()
     t0 = time.monotonic()
-    res = run_pipeline(spark, corpus, args.ckpt, threshold=args.threshold)
-    n_clusters = res["clusters"].agg(F.countDistinct("cluster_id")).collect()[0][0]
+    with ExternalCpuMeter() as meter:
+        res = run_pipeline(spark, corpus, args.ckpt, threshold=args.threshold)
+        n_clusters = res["clusters"].agg(F.countDistinct("cluster_id")).collect()[0][0]
     wall = time.monotonic() - t0
 
     f1 = None
@@ -75,6 +78,11 @@ def main() -> None:
         "stage_wall": {k: v["wall_sec"] for k, v in res["metrics"].items()},
         "loadavg_start": load_start,
         "loadavg_end": _load(),
+        # directly-measured neighbor CPU during the timed body (cores):
+        # /proc/stat busy minus our own process tree — the loadavg
+        # fields above decay slowly and count D-state disk waits, this
+        # does neither (BENCH/sysload.py)
+        "external_cores_avg": meter.external_cores_avg,
     }
     Path(args.out).write_text(json.dumps(out, indent=1))
     print(json.dumps(out))

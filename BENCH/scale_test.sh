@@ -53,6 +53,18 @@ COMMON=(--conf spark.ui.enabled=false
         --conf spark.sql.execution.arrow.maxRecordsPerBatch=65536
         --py-files "$WORK/pkg.zip")
 
+# SPARK_GRAFT_SCALE_LOCALDIR (e.g. /dev/shm/spark-local): put shuffle
+# spill on a tmpfs to approximate per-executor local disks.  In this
+# sandbox BOTH parallelism levels share ONE vda device, so an edge-heavy
+# run's multi-GB shuffle writes serialize on disk bandwidth at local[8]
+# but not local[2] — a bottleneck a real cluster does not have (each
+# executor brings its own disks).  Applied to BOTH levels identically,
+# so the ratio stays a fair same-machine comparison.
+if [ -n "${SPARK_GRAFT_SCALE_LOCALDIR:-}" ]; then
+  mkdir -p "$SPARK_GRAFT_SCALE_LOCALDIR"
+  COMMON+=(--conf "spark.local.dir=$SPARK_GRAFT_SCALE_LOCALDIR")
+fi
+
 for CORES in "$N" "$N4"; do
   for REP in $(seq 1 "$REPS"); do
     if [ -n "$LOADGATE" ]; then

@@ -66,53 +66,10 @@ def force(df) -> int:
     return df.agg(F.count(F.lit(1))).collect()[0][0]
 
 
-def _total_busy_jiffies() -> int:
-    """Aggregate non-idle jiffies across all CPUs (user+nice+system+
-    irq+softirq+steal+guest) from /proc/stat line 1."""
-    with open("/proc/stat") as f:
-        parts = f.readline().split()
-    vals = [int(x) for x in parts[1:]]
-    # fields: user nice system idle iowait irq softirq steal guest gnice
-    return sum(vals) - vals[3] - (vals[4] if len(vals) > 4 else 0)
-
-
-def _proc_tree_jiffies() -> int:
-    """utime+stime of this process and every live descendant, plus this
-    process's cutime+cstime (reaped children).  A child alive at t0 and
-    reaped by t1 moves from the live sum into cutime, so deltas stay
-    exact across child lifetimes."""
-    me = os.getpid()
-    children: dict[int, list[int]] = {}
-    stats: dict[int, tuple[int, int, int, int]] = {}
-    for d in os.listdir("/proc"):
-        if not d.isdigit():
-            continue
-        try:
-            with open(f"/proc/{d}/stat") as f:
-                raw = f.read()
-        except OSError:
-            continue
-        # pid (comm possibly with spaces/parens) state ppid ...
-        rest = raw.rsplit(")", 1)[1].split()
-        pid = int(d)
-        ppid = int(rest[1])
-        utime, stime, cutime, cstime = (int(x) for x in rest[11:15])
-        stats[pid] = (utime, stime, cutime, cstime)
-        children.setdefault(ppid, []).append(pid)
-    total = 0
-    stack = [me]
-    seen = set()
-    while stack:
-        pid = stack.pop()
-        if pid in seen or pid not in stats:
-            continue
-        seen.add(pid)
-        u, s, cu, cs = stats[pid]
-        total += u + s
-        if pid == me:
-            total += cu + cs
-        stack.extend(children.get(pid, []))
-    return total
+from BENCH.sysload import (  # noqa: E402
+    proc_tree_jiffies as _proc_tree_jiffies,
+    total_busy_jiffies as _total_busy_jiffies,
+)
 
 
 def wait_for_quiet_window(deadline_ts: float) -> float:

@@ -641,6 +641,18 @@ def extract_ips(
                 only_public, ignore_private, ignore_loopback, ignore_broadcast
             ),
         )
+    # Native no-candidate prefilter (the v4 twin of the v6 gate above):
+    # any extractable IPv4 needs a digit.digit bigram in the REFANGED
+    # text, which can only come from "d.d", "d[.]d" or "d(.)d" in the
+    # original — one cheap early-exit rlike over the original column
+    # (probing the original, not `refanged`, keeps the refang
+    # subexpression out of the probe branch so it is never computed
+    # twice).  CASE WHEN branches evaluate lazily in codegen, so rows
+    # with no candidate skip BOTH the refang copy and the full
+    # candidate scan — on real source corpora most rows are IP-free
+    # and extraction leads every pipeline.
+    has_cand = c.rlike(r"[0-9](\.|\[\.\]|\(\.\))[0-9]")
+    arr = F.when(has_cand, arr).otherwise(F.array().cast(ArrayType(StringType())))
     return F.when(c.isNull(), F.lit(None).cast(ArrayType(StringType()))).otherwise(
         arr
     )
