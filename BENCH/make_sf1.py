@@ -30,7 +30,12 @@ def main() -> None:
     ap.add_argument("--src", default="/root/testdata/sf0.1")
     ap.add_argument("--out", default="/tmp/sf1.0")
     ap.add_argument("--copies", type=int, default=10)
+    ap.add_argument(
+        "--tables", default="lineitem,documents,embeddings",
+        help="comma list; doc-op ladders can skip lineitem",
+    )
     args = ap.parse_args()
+    tables = set(args.tables.split(","))
 
     from polars_iptools_spark.session import get_spark
     from pyspark.sql import functions as F
@@ -42,68 +47,69 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     out = Path(args.out)
 
-    li = spark.read.parquet(f"{args.src}/lineitem.parquet")
-    okey_span = li.agg(F.max("l_orderkey")).collect()[0][0] + 1
-    parts = []
-    for c in range(args.copies):
-        parts.append(li.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(c * okey_span)))
-    big_li = parts[0]
-    for p in parts[1:]:
-        big_li = big_li.unionByName(p)
-    big_li.repartition(32).write.mode("overwrite").parquet(str(out / "lineitem.parquet"))
+    counts = {}
+    if "lineitem" in tables:
+        li = spark.read.parquet(f"{args.src}/lineitem.parquet")
+        okey_span = li.agg(F.max("l_orderkey")).collect()[0][0] + 1
+        parts = []
+        for c in range(args.copies):
+            parts.append(li.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(c * okey_span)))
+        big_li = parts[0]
+        for p in parts[1:]:
+            big_li = big_li.unionByName(p)
+        big_li.repartition(32).write.mode("overwrite").parquet(str(out / "lineitem.parquet"))
+        counts["lineitem"] = spark.read.parquet(str(out / "lineitem.parquet")).count()
 
-    docs = spark.read.parquet(f"{args.src}/documents.parquet")
-    dkey_span = docs.agg(F.max("doc_id")).collect()[0][0] + 1
-    parts = []
-    for c in range(args.copies):
-        parts.append(
-            docs.withColumn("doc_id", F.col("doc_id") + F.lit(c * dkey_span))
-            .withColumn("text", F.concat("text", F.lit(f" copysalt{c} v{c}")))
-        )
-    big_d = parts[0]
-    for p in parts[1:]:
-        big_d = big_d.unionByName(p)
-    big_d.repartition(32).write.mode("overwrite").parquet(str(out / "documents.parquet"))
-
-    emb = spark.read.parquet(f"{args.src}/embeddings.parquet")
-    vkey_span = emb.agg(F.max("vec_id")).collect()[0][0] + 1
-    parts = []
-    for c in range(args.copies):
-        e = emb.withColumn("vec_id", F.col("vec_id") + F.lit(c * vkey_span))
-        if c:
-            e = e.withColumn(
-                "embedding",
-                F.transform(
-                    "embedding",
-                    lambda x, i: (
-                        x
-                        * (
-                            F.lit(1.0)
-                            + (
-                                F.pmod(
-                                    F.xxhash64(F.col("vec_id"), i, F.lit(c)),
-                                    F.lit(1000),
-                                )
-                                - 500
-                            )
-                            / 20000.0
-                        )
-                    ).cast("float"),
-                ),
+    if "documents" in tables:
+        docs = spark.read.parquet(f"{args.src}/documents.parquet")
+        dkey_span = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+        parts = []
+        for c in range(args.copies):
+            parts.append(
+                docs.withColumn("doc_id", F.col("doc_id") + F.lit(c * dkey_span))
+                .withColumn("text", F.concat("text", F.lit(f" copysalt{c} v{c}")))
             )
-        parts.append(e)
-    big_e = parts[0]
-    for p in parts[1:]:
-        big_e = big_e.unionByName(p)
-    big_e.repartition(32).write.mode("overwrite").parquet(str(out / "embeddings.parquet"))
+        big_d = parts[0]
+        for p in parts[1:]:
+            big_d = big_d.unionByName(p)
+        big_d.repartition(32).write.mode("overwrite").parquet(str(out / "documents.parquet"))
+        counts["documents"] = spark.read.parquet(str(out / "documents.parquet")).count()
 
-    print(
-        {
-            "lineitem": spark.read.parquet(str(out / "lineitem.parquet")).count(),
-            "documents": spark.read.parquet(str(out / "documents.parquet")).count(),
-            "embeddings": spark.read.parquet(str(out / "embeddings.parquet")).count(),
-        }
-    )
+    if "embeddings" in tables:
+        emb = spark.read.parquet(f"{args.src}/embeddings.parquet")
+        vkey_span = emb.agg(F.max("vec_id")).collect()[0][0] + 1
+        parts = []
+        for c in range(args.copies):
+            e = emb.withColumn("vec_id", F.col("vec_id") + F.lit(c * vkey_span))
+            if c:
+                e = e.withColumn(
+                    "embedding",
+                    F.transform(
+                        "embedding",
+                        lambda x, i: (
+                            x
+                            * (
+                                F.lit(1.0)
+                                + (
+                                    F.pmod(
+                                        F.xxhash64(F.col("vec_id"), i, F.lit(c)),
+                                        F.lit(1000),
+                                    )
+                                    - 500
+                                )
+                                / 20000.0
+                            )
+                        ).cast("float"),
+                    ),
+                )
+            parts.append(e)
+        big_e = parts[0]
+        for p in parts[1:]:
+            big_e = big_e.unionByName(p)
+        big_e.repartition(32).write.mode("overwrite").parquet(str(out / "embeddings.parquet"))
+        counts["embeddings"] = spark.read.parquet(str(out / "embeddings.parquet")).count()
+
+    print(counts)
     spark.stop()
 
 

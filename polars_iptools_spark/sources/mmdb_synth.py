@@ -75,6 +75,32 @@ def asn_record(j: int) -> dict:
     }
 
 
+_SPUR_INFRA = ["DATACENTER", "MOBILE", "RESIDENTIAL", "SATELLITE", ""]
+_SPUR_SERVICES = [["VPN"], ["PROXY"], ["VPN", "PROXY"], ["TOR"]]
+
+
+def spur_record(j: int) -> dict:
+    """Distinct Spur feed record ``j`` — camelCase field names per the
+    Spur feed-export convention the reference deserializes
+    (/root/reference/src/spurdb.rs:61-71: clientCount, infrastructure,
+    locationCity/Country/State, services, tag).  Every third record
+    omits ``services`` and every fifth omits ``tag`` so the
+    None-handling paths (spurdb.rs:183 unwrap_or_default) are exercised
+    at scale, not just in the toy fixture."""
+    rec = {
+        "clientCount": float(j % 5000) / 4.0,
+        "infrastructure": _SPUR_INFRA[j % 5],
+        "locationCity": f"City {j % 9000}",
+        "locationCountry": f"{chr(65 + j % 26)}{chr(65 + (j // 26) % 26)}",
+        "locationState": f"State {j % 600}",
+    }
+    if j % 3 != 0:
+        rec["services"] = _SPUR_SERVICES[j % 4]
+    if j % 5 != 0:
+        rec["tag"] = f"tag{j % 40}"
+    return rec
+
+
 def record_index(i: int, n_records: int) -> int:
     """Network i -> distinct-record index (Knuth multiplicative mix so
     adjacent networks rarely share a record, like a real DB)."""
@@ -187,6 +213,35 @@ def write_synthetic_geolite(
             "bytes": path.stat().st_size,
         }
     return out
+
+
+def write_synthetic_spur(
+    db_dir: str | Path,
+    n_networks: int = 1_500_000,
+    n_records: int = 100_000,
+    n_v6_networks: int = 300_000,
+) -> dict:
+    """Write a deployment-sized ``spur.mmdb`` into ``db_dir`` (a real
+    Spur anonymous/anonymous-residential feed carries ~1-2M entries).
+    Same deterministic tiling as the GeoLite2 synthesizer, so
+    :func:`expected_city_record_index` /
+    :func:`expected_city_v6_record_index` (tiling-generic despite the
+    name) serve as independent arithmetic oracles for spot checks."""
+    db_dir = Path(db_dir)
+    db_dir.mkdir(parents=True, exist_ok=True)
+    entries, _ = synth_entries(
+        n_networks, n_records, spur_record, n_v6_networks=n_v6_networks
+    )
+    path = db_dir / "spur.mmdb"
+    write_mmdb(path, entries, database_type="spur")
+    return {
+        "spur.mmdb": {
+            "networks": n_networks,
+            "v6_networks": n_v6_networks,
+            "distinct_records": n_records,
+            "bytes": path.stat().st_size,
+        }
+    }
 
 
 def expected_city_record_index(addr_int: int, n_networks: int, n_records: int) -> int | None:
