@@ -68,6 +68,44 @@ def proc_tree_jiffies() -> int:
     return total
 
 
+def cpu_calibration(n_threads: int | None = None) -> dict:
+    """Fixed pure-CPU probe for cross-epoch comparability: sha256
+    throughput single-threaded and at n_threads (hashlib releases the
+    GIL on large buffers, so threads scale to real cores).
+
+    Round 6 found a machine epoch where EVERY bench query ran a uniform
+    ~1.35x slower than round 4's record while measured external CPU was
+    0.4 cores and single-core speed was normal — host-level contention
+    (memory bandwidth / SMT siblings) that guest CPU accounting cannot
+    see.  The parallel probe is the discriminator: it drops with the
+    host epoch, so a record's walls can be read against its own
+    calibration instead of against another epoch's."""
+    import concurrent.futures
+    import hashlib
+
+    n_threads = n_threads or (os.cpu_count() or 8)
+    buf = b"\xa5" * (16 << 20)  # 16 MiB
+
+    def work(reps: int) -> None:
+        for _ in range(reps):
+            hashlib.sha256(buf).digest()
+
+    t0 = time.monotonic()
+    work(8)
+    t1 = (time.monotonic() - t0) or 1e-9
+    single = 8 * 16 / t1
+    t0 = time.monotonic()
+    with concurrent.futures.ThreadPoolExecutor(n_threads) as ex:
+        list(ex.map(work, [4] * n_threads))
+    tn = (time.monotonic() - t0) or 1e-9
+    par = n_threads * 4 * 16 / tn
+    return {
+        "sha256_1t_mb_s": round(single),
+        f"sha256_{n_threads}t_mb_s": round(par),
+        "parallel_scaling": round(par / single / n_threads, 3),
+    }
+
+
 class ExternalCpuMeter:
     """Snapshot-on-enter / measure-on-exit average external cores."""
 

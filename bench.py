@@ -58,6 +58,13 @@ GATE = float(os.environ.get("SPARK_GRAFT_BENCH_LOADGATE", "3.0"))
 EXT_GATE = float(os.environ.get("SPARK_GRAFT_BENCH_EXTGATE", "1.5"))
 # total wall budget for gate-waits + retries; one attempt always runs
 DEADLINE = float(os.environ.get("SPARK_GRAFT_BENCH_DEADLINE", "1800"))
+# minimum parallel sha256 throughput (MB/s, all cores) to START an
+# attempt: host epochs exist where parallel capacity halves (measured
+# 6,988 vs 16,250 MB/s an hour apart) while external CPU reads clean —
+# walls recorded in a degraded epoch say nothing about the engine.
+# Bounded by the same per-attempt maxwait, so a persistently degraded
+# host still produces a (calibration-stamped) record.  0 disables.
+CALIB_GATE = float(os.environ.get("SPARK_GRAFT_BENCH_CALIBGATE", "9000"))
 MAXMIND = "/root/reference/tests/maxmind"
 
 
@@ -67,26 +74,32 @@ def force(df) -> int:
 
 
 from BENCH.sysload import (  # noqa: E402
+    cpu_calibration,
     proc_tree_jiffies as _proc_tree_jiffies,
     total_busy_jiffies as _total_busy_jiffies,
 )
 
 
 def wait_for_quiet_window(deadline_ts: float) -> float:
-    """Bounded wait for the 1-min load to drop below the gate before
-    timing anything; capped per-attempt at
+    """Bounded wait for BOTH a low 1-min load and a healthy host epoch
+    (parallel sha256 calibration above CALIB_GATE) before timing
+    anything; capped per-attempt at
     $SPARK_GRAFT_BENCH_LOADGATE_MAXWAIT seconds (default 240) and by
     the overall deadline.  Returns seconds actually waited."""
     max_wait = float(os.environ.get("SPARK_GRAFT_BENCH_LOADGATE_MAXWAIT", "240"))
     if GATE <= 0:
         return 0.0
     t0 = time.monotonic()
-    while (
-        time.monotonic() - t0 < max_wait
-        and time.monotonic() < deadline_ts
-        and os.getloadavg()[0] > GATE
-    ):
-        time.sleep(5)
+    while time.monotonic() - t0 < max_wait and time.monotonic() < deadline_ts:
+        if os.getloadavg()[0] > GATE:
+            time.sleep(5)
+            continue
+        if CALIB_GATE > 0:
+            key = f"sha256_{int(CPUS)}t_mb_s"
+            if cpu_calibration(int(CPUS)).get(key, 0) < CALIB_GATE:
+                time.sleep(20)
+                continue
+        break
     return round(time.monotonic() - t0, 1)
 
 
@@ -339,6 +352,12 @@ def main() -> None:
     for i in range(ATTEMPTS):
         gate_waited = wait_for_quiet_window(deadline_ts)
         load_at_start = round(os.getloadavg()[0], 2)
+        # fixed pure-CPU probe: host epochs exist where every wall
+        # inflates uniformly ~1.35x while external CPU reads clean
+        # (memory-bandwidth / SMT contention the guest cannot see) —
+        # the parallel calibration number lets a reader normalize this
+        # record against another epoch's (BENCH/sysload.py)
+        calib = cpu_calibration(int(CPUS))
         busy0, tree0 = _total_busy_jiffies(), _proc_tree_jiffies()
         t_run0 = time.monotonic()
         timings, reps, extras = run_attempt(spark, inp)
@@ -357,6 +376,7 @@ def main() -> None:
             "load_at_start": load_at_start,
             "load_at_end": load_at_end,
             "external_cores_avg": round(ext_cores, 2),
+            "cpu_calibration": calib,
             "loadgate_waited_s": gate_waited,
             "timings": timings,
             "reps": reps,
@@ -385,6 +405,7 @@ def main() -> None:
             "load_at_start": least_loaded["load_at_start"],
             "load_at_end": least_loaded["load_at_end"],
             "external_cores_avg": least_loaded["external_cores_avg"],
+            "cpu_calibration": least_loaded["cpu_calibration"],
             "loadgate_waited_s": least_loaded["loadgate_waited_s"],
             "timings": minima,
             "reps": {q: [v for a in attempts for v in a["reps"][q]] for q in minima},
@@ -424,6 +445,7 @@ def main() -> None:
                 "load_at_start": accepted["load_at_start"],
                 "load_at_end": accepted["load_at_end"],
                 "external_cores_avg": accepted["external_cores_avg"],
+                "cpu_calibration": accepted["cpu_calibration"],
                 "loadgate_waited_s": accepted["loadgate_waited_s"],
                 "attempts": len(attempts),
                 "attempt_history": [
