@@ -52,14 +52,20 @@ def main() -> None:
         except OSError:
             return None
 
-    from BENCH.sysload import ExternalCpuMeter
+    from BENCH.sysload import ExternalCpuMeter, cpu_calibration
 
+    # host-epoch probe at BOTH edges of the timed body: round 6 found
+    # 2.3x parallel-capacity swings (16,250 vs 6,988 MB/s sha256)
+    # invisible to guest CPU accounting; a long rep can straddle an
+    # epoch change, so record entry and exit
+    calib_start = cpu_calibration()
     load_start = _load()
     t0 = time.monotonic()
     with ExternalCpuMeter() as meter:
         res = run_pipeline(spark, corpus, args.ckpt, threshold=args.threshold)
         n_clusters = res["clusters"].agg(F.countDistinct("cluster_id")).collect()[0][0]
     wall = time.monotonic() - t0
+    calib_end = cpu_calibration()
 
     f1 = None
     if args.truth:
@@ -83,6 +89,11 @@ def main() -> None:
         # fields above decay slowly and count D-state disk waits, this
         # does neither (BENCH/sysload.py)
         "external_cores_avg": meter.external_cores_avg,
+        # host-epoch calibration (BENCH/sysload.cpu_calibration) at the
+        # rep's entry and exit; read this rep's walls against its own
+        # epoch, and the 2v8 ratio only across same-epoch reps
+        "calib_start": calib_start,
+        "calib_end": calib_end,
     }
     Path(args.out).write_text(json.dumps(out, indent=1))
     print(json.dumps(out))

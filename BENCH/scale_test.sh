@@ -70,12 +70,30 @@ for CORES in "$N" "$N4"; do
     if [ -n "$LOADGATE" ]; then
       # the sandbox's noisy-neighbor phases run 5-7 external cores for
       # minutes at a time; a rep started inside one measures the
-      # neighbors, not the engine — wait (bounded) for a quiet window
-      for _ in $(seq 1 180); do
-        L=$(cut -d' ' -f1 /proc/loadavg)
-        awk -v l="$L" -v g="$LOADGATE" 'BEGIN{exit !(l<g)}' && break
-        sleep 10
-      done
+      # neighbors, not the engine — wait (bounded) for a quiet window.
+      # SPARK_GRAFT_SCALE_CALGATE (MB/s) additionally gates on the
+      # host-epoch parallel sha256 probe: round 6 measured healthy
+      # ~16,000 vs degraded ~7,000 MB/s, a 2.3x capacity swing that
+      # guest load cannot see and that depresses the WIDE rep more
+      # than the narrow one (ratio distortion, not just inflation)
+      python - "$LOADGATE" "${SPARK_GRAFT_SCALE_CALGATE:-0}" <<'GATE'
+import sys, time
+from BENCH.sysload import cpu_calibration
+loadgate, calgate = float(sys.argv[1]), float(sys.argv[2])
+deadline = time.monotonic() + 1800
+while time.monotonic() < deadline:
+    load = float(open("/proc/loadavg").read().split()[0])
+    if load >= loadgate:
+        time.sleep(15); continue
+    if calgate:
+        cal = cpu_calibration()
+        par = max(v for k, v in cal.items() if k.endswith("t_mb_s") and not k.startswith("sha256_1t"))
+        if par < calgate:
+            print(f"gate: load {load} OK but epoch {par} MB/s < {calgate}", file=sys.stderr)
+            time.sleep(60); continue
+        print(f"gate open: load {load}, epoch {par} MB/s", file=sys.stderr)
+    break
+GATE
     fi
     echo "=== local[$CORES] rep $REP (load: $(cut -d' ' -f1 /proc/loadavg)) ===" >&2
     spark-submit --master "local[$CORES]" \

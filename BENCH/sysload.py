@@ -30,13 +30,25 @@ def total_busy_jiffies() -> int:
 
 
 def proc_tree_jiffies() -> int:
-    """utime+stime of this process and every live descendant, plus this
-    process's cutime+cstime (reaped children).  A child alive at t0 and
-    reaped by t1 moves from the live sum into cutime, so deltas stay
-    exact across child lifetimes."""
+    """utime+stime of OUR JOB's whole process tree, rooted at the
+    topmost ancestor that shares this process's session id, plus every
+    tree node's cutime+cstime (reaped children).  A child alive at t0
+    and reaped by t1 moves from the live sum into its parent's cutime,
+    so deltas stay exact across child lifetimes.
+
+    Session-rooted, not self-rooted: under ``spark-submit`` the Python
+    driver is a CHILD of the JVM (bash -> spark-submit -> java ->
+    python), so a tree rooted at os.getpid() misses the JVM and every
+    pyspark.daemon worker — they sit above/beside us — and the meter
+    mislabels our own Spark CPU as "external" (round 6 sweep recorded
+    external_cores_avg 2.8/7.7 == the job's own core budget).  Rooting
+    at the session leader captures the whole spark-submit job while
+    still excluding genuine neighbors (other sessions, host steal)."""
     me = os.getpid()
     children: dict[int, list[int]] = {}
     stats: dict[int, tuple[int, int, int, int]] = {}
+    ppids: dict[int, int] = {}
+    sids: dict[int, int] = {}
     for d in os.listdir("/proc"):
         if not d.isdigit():
             continue
@@ -45,15 +57,26 @@ def proc_tree_jiffies() -> int:
                 raw = f.read()
         except OSError:
             continue
-        # pid (comm possibly with spaces/parens) state ppid ...
+        # pid (comm possibly with spaces/parens) state ppid pgrp session ...
         rest = raw.rsplit(")", 1)[1].split()
         pid = int(d)
         ppid = int(rest[1])
+        sid = int(rest[3])
         utime, stime, cutime, cstime = (int(x) for x in rest[11:15])
         stats[pid] = (utime, stime, cutime, cstime)
+        ppids[pid] = ppid
+        sids[pid] = sid
         children.setdefault(ppid, []).append(pid)
+    # climb to the highest ancestor still inside our session
+    root = me
+    my_sid = sids.get(me)
+    while True:
+        parent = ppids.get(root)
+        if not parent or parent == root or sids.get(parent) != my_sid:
+            break
+        root = parent
     total = 0
-    stack = [me]
+    stack = [root]
     seen = set()
     while stack:
         pid = stack.pop()
@@ -61,9 +84,9 @@ def proc_tree_jiffies() -> int:
             continue
         seen.add(pid)
         u, s, cu, cs = stats[pid]
-        total += u + s
-        if pid == me:
-            total += cu + cs
+        # cutime/cstime on every node: reaped jiffies accumulate there
+        # only on reap, so live-descendant sums never double-count
+        total += u + s + cu + cs
         stack.extend(children.get(pid, []))
     return total
 
