@@ -76,11 +76,11 @@ for CORES in "$N" "$N4"; do
       # ~16,000 vs degraded ~7,000 MB/s, a 2.3x capacity swing that
       # guest load cannot see and that depresses the WIDE rep more
       # than the narrow one (ratio distortion, not just inflation)
-      python - "$LOADGATE" "${SPARK_GRAFT_SCALE_CALGATE:-0}" <<'GATE'
+      python - "$LOADGATE" "${SPARK_GRAFT_SCALE_CALGATE:-0}" "${SPARK_GRAFT_SCALE_GATESECS:-1800}" <<'GATE'
 import sys, time
 from BENCH.sysload import cpu_calibration
 loadgate, calgate = float(sys.argv[1]), float(sys.argv[2])
-deadline = time.monotonic() + 1800
+deadline = time.monotonic() + float(sys.argv[3])
 while time.monotonic() < deadline:
     load = float(open("/proc/loadavg").read().split()[0])
     if load >= loadgate:

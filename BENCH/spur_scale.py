@@ -48,7 +48,12 @@ def main() -> None:
     from polars_iptools_spark.sources import mmdb_synth
     from polars_iptools_spark.sources.mmdb import MMDBFile
 
+    from BENCH.sysload import cpu_calibration
+
     result: dict = {"config": vars(args).copy()}
+    # host-epoch witness (see sysload.cpu_calibration): walls in this
+    # record are only comparable across records at like calibration
+    result["calib_start"] = cpu_calibration()
 
     db_dir = Path(args.keep_dir) if args.keep_dir else Path(tempfile.mkdtemp(prefix="spur_scale_"))
     cleanup = args.keep_dir is None
@@ -218,6 +223,7 @@ def main() -> None:
         if cleanup:
             shutil.rmtree(db_dir, ignore_errors=True)
 
+    result["calib_end"] = cpu_calibration()
     Path("BENCH/spur_scale_result.json").write_text(json.dumps(result, indent=2))
     print(json.dumps(result))
 
