@@ -15,15 +15,29 @@ REPS="${SPARK_GRAFT_SCALE_REPS:-3}"    # best-of-N per level (noisy-neighbor ins
 LOADGATE="${SPARK_GRAFT_SCALE_LOADGATE:-}"  # e.g. 2.0: wait (<=30 min) for 1-min load below this before each rep
 N="${SPARK_GRAFT_SCALE_N:-4}"
 N4=$((N * 4))
-WORK="$(mktemp -d /tmp/scale.XXXXXX)"
-trap 'rm -rf "$WORK"' EXIT
+# SPARK_GRAFT_SCALE_WORKDIR: reuse a prior run's corpus (skips the
+# ~15-min generation and keeps the input byte-identical across
+# follow-up probes); the caller owns cleanup in that case
+if [ -n "${SPARK_GRAFT_SCALE_WORKDIR:-}" ]; then
+  WORK="$SPARK_GRAFT_SCALE_WORKDIR"; mkdir -p "$WORK"
+else
+  WORK="$(mktemp -d /tmp/scale.XXXXXX)"
+  trap 'rm -rf "$WORK"' EXIT
+fi
+# SPARK_GRAFT_SCALE_CKPTDIR: where StageRunner commits its four stage
+# parquets.  Default is the workdir (vda disk).  On a real cluster
+# commits land on distributed storage whose bandwidth scales with
+# executors; pointing this at a tmpfs approximates that, same as
+# SPARK_GRAFT_SCALE_LOCALDIR does for shuffle
+CKPTBASE="${SPARK_GRAFT_SCALE_CKPTDIR:-$WORK}"
+mkdir -p "$CKPTBASE"
 
-echo "workdir: $WORK  files: $FILES  cores: $N vs $N4" >&2
+echo "workdir: $WORK  ckpt: $CKPTBASE  files: $FILES  cores: $N vs $N4" >&2
 
 (cd "$(pwd)" && zip -qr "$WORK/pkg.zip" polars_iptools_spark)
 
 # materialize the shared corpus once (generation excluded from timing)
-python - "$WORK" "$FILES" "$SKEW" <<'EOF'
+[ -d "$WORK/corpus.parquet" ] || python - "$WORK" "$FILES" "$SKEW" <<'EOF'
 import sys
 from polars_iptools_spark.session import get_spark
 from polars_iptools_spark.sources.corpus import synth_corpus
@@ -101,14 +115,14 @@ GATE
       "${COMMON[@]}" \
       BENCH/run_scaling.py \
       --corpus "$WORK/corpus.parquet" \
-      --ckpt "$WORK/ckpt_${CORES}_${REP}" \
+      --ckpt "$CKPTBASE/ckpt_${CORES}_${REP}" \
       $([ "$TRUTH" = "1" ] && echo --truth "$WORK/truth.parquet") \
       --out "$WORK/result_${CORES}_${REP}.json" 2>/dev/null
     # disk resilience (the sandbox fs is ~94G effective): drop the
     # rep's checkpoint immediately — its result JSON is what counts —
     # and archive that JSON outside the workdir so a later-rep crash
     # (the EXIT trap wipes $WORK) cannot destroy completed evidence
-    rm -rf "$WORK/ckpt_${CORES}_${REP}"
+    rm -rf "$CKPTBASE/ckpt_${CORES}_${REP}"
     cp "$WORK/result_${CORES}_${REP}.json" "$(dirname "$0")/last_result_${CORES}_${REP}.json" 2>/dev/null || true
   done
 done
