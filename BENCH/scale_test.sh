@@ -65,6 +65,7 @@ COMMON=(--conf spark.ui.enabled=false
         --conf spark.driver.memory=24g
         --conf spark.sql.execution.arrow.pyspark.enabled=true
         --conf spark.sql.execution.arrow.maxRecordsPerBatch=65536
+        --conf spark.python.worker.faulthandler.enabled=true
         --py-files "$WORK/pkg.zip")
 
 # SPARK_GRAFT_SCALE_LOCALDIR (e.g. /dev/shm/spark-local): put shuffle

@@ -295,6 +295,23 @@ def hot_candidates(
     return base.withColumn("ub", upper).where(F.col("ub") >= threshold)
 
 
+def _jw_eq_gated(a: Column, b: Column) -> Column:
+    """Jaro-Winkler with the equal-strings case resolved JVM-side:
+    equal non-empty -> 1.0, equal empty -> 0.0 (the batch kernel's
+    convention), and ONLY unequal pairs cross the Arrow boundary (the
+    UDF inputs are null-gated, so equal rows transfer as null bitmap
+    entries, not string bytes).  True-match candidate streams are
+    dominated by equal repo (and often path) features — at the 9.6M
+    skewed corpus this strips ~85M repo-string pairs from the
+    crossing."""
+    eq = a.eqNullSafe(b)
+    return (
+        F.when(eq & a.isNotNull() & (a != ""), F.lit(1.0))
+        .when(eq, F.lit(0.0))
+        .otherwise(jaro_winkler_udf(F.when(~eq, a), F.when(~eq, b)))
+    )
+
+
 def exact_score_hot(
     hot: DataFrame,
     path_cols: tuple[str, str] = ("path_a", "path_b"),
@@ -304,10 +321,10 @@ def exact_score_hot(
     """Exact blended score over hot candidates (expects the materialized
     ip_sim / lev_path columns from :func:`hot_candidates`)."""
     w_ip, w_path, w_repo = weights
-    path_sim = 0.5 * jaro_winkler_udf(
+    path_sim = 0.5 * _jw_eq_gated(
         F.col(path_cols[0]), F.col(path_cols[1])
     ) + 0.5 * F.col("lev_path")
-    repo_sim = jaro_winkler_udf(F.col(repo_cols[0]), F.col(repo_cols[1]))
+    repo_sim = _jw_eq_gated(F.col(repo_cols[0]), F.col(repo_cols[1]))
     return hot.withColumn(
         "score", w_ip * F.col("ip_sim") + w_path * path_sim + w_repo * repo_sim
     )

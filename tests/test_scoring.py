@@ -100,3 +100,32 @@ def test_identical_strings_fast_path():
     got = jaro_winkler_batch(av, bv)
     assert (got[:5] == 1.0).all()
     assert got[5] == 0.0
+
+
+def test_jw_eq_gated_matches_udf(spark):
+    """The JVM equality gate (_jw_eq_gated) must be value-identical to
+    the raw UDF on every class of input: equal non-empty, equal empty,
+    unequal, one/both null — only the Arrow crossing changes."""
+    from pyspark.sql import functions as F
+
+    from polars_iptools_spark.plans.scoring import (
+        _jw_eq_gated,
+        jaro_winkler_udf,
+    )
+
+    rows = [
+        ("org1/repo", "org1/repo"),
+        ("", ""),
+        ("src/a/main.py", "src/a/util.py"),
+        ("abc", None),
+        (None, None),
+        ("x", ""),
+        ("path/with space", "path/with space"),
+    ] + [(a, b) for a, b in _random_pairs(200, seed=13)]
+    df = spark.createDataFrame(rows, "a string, b string")
+    got = df.select(
+        _jw_eq_gated(F.col("a"), F.col("b")).alias("gated"),
+        jaro_winkler_udf(F.col("a"), F.col("b")).alias("raw"),
+    ).collect()
+    for r in got:
+        assert r.gated == pytest.approx(r.raw, abs=1e-12), r
