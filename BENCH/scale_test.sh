@@ -108,6 +108,13 @@ while time.monotonic() < deadline:
             time.sleep(60); continue
         print(f"gate open: load {load}, epoch {par} MB/s", file=sys.stderr)
     break
+else:
+    # fail CLOSED: a rep started in a degraded epoch records garbage
+    # (round 6 observed 1,500 MB/s parallel capacity — 10x under
+    # healthy — while guest load read 0.05); no record beats a
+    # contaminated record of record
+    print(f"gate TIMEOUT after {sys.argv[3]}s — aborting sweep, no rep started", file=sys.stderr)
+    sys.exit(86)
 GATE
     fi
     echo "=== local[$CORES] rep $REP (load: $(cut -d' ' -f1 /proc/loadavg)) ===" >&2
