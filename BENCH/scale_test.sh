@@ -118,14 +118,27 @@ else:
 GATE
     fi
     echo "=== local[$CORES] rep $REP (load: $(cut -d' ' -f1 /proc/loadavg)) ===" >&2
-    spark-submit --master "local[$CORES]" \
-      --conf "spark.sql.shuffle.partitions=$((CORES * 2))" \
-      "${COMMON[@]}" \
-      BENCH/run_scaling.py \
-      --corpus "$WORK/corpus.parquet" \
-      --ckpt "$CKPTBASE/ckpt_${CORES}_${REP}" \
-      $([ "$TRUTH" = "1" ] && echo --truth "$WORK/truth.parquet") \
-      --out "$WORK/result_${CORES}_${REP}.json" 2>/dev/null
+    # one bounded retry per rep: a transient Python-worker crash (r6b
+    # lost a full sweep to one Arrow socket reset an hour in) should
+    # cost one rep re-run, not the whole unattended sweep
+    for TRY in 1 2; do
+      if spark-submit --master "local[$CORES]" \
+        --conf "spark.sql.shuffle.partitions=$((CORES * 2))" \
+        "${COMMON[@]}" \
+        BENCH/run_scaling.py \
+        --corpus "$WORK/corpus.parquet" \
+        --ckpt "$CKPTBASE/ckpt_${CORES}_${REP}" \
+        $([ "$TRUTH" = "1" ] && echo --truth "$WORK/truth.parquet") \
+        --out "$WORK/result_${CORES}_${REP}.json" 2>/dev/null; then
+        break
+      elif [ "$TRY" = 2 ]; then
+        echo "rep local[$CORES] #$REP failed twice — aborting" >&2
+        exit 87
+      else
+        echo "rep local[$CORES] #$REP crashed (try $TRY) — retrying once" >&2
+        rm -rf "$CKPTBASE/ckpt_${CORES}_${REP}"
+      fi
+    done
     # disk resilience (the sandbox fs is ~94G effective): drop the
     # rep's checkpoint immediately — its result JSON is what counts —
     # and archive that JSON outside the workdir so a later-rep crash
