@@ -44,6 +44,8 @@ def main() -> None:
                     help="micro-batch count (maxFilesPerTrigger = files/batches)")
     ap.add_argument("--distinct-ips", type=int, default=100_000)
     ap.add_argument("--cpus", default=os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    ap.add_argument("--out", default=None,
+                    help="result path (default: BENCH/streaming_scale_result.json)")
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -160,7 +162,9 @@ def main() -> None:
             args.state_rows,
         )
 
-        out = Path(__file__).resolve().parent / "streaming_scale_result.json"
+        out = Path(args.out) if args.out else (
+            Path(__file__).resolve().parent / "streaming_scale_result.json"
+        )
         out.write_text(json.dumps(result, indent=1))
         print(json.dumps(result))
     finally:
