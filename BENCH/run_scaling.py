@@ -57,8 +57,17 @@ def main() -> None:
     # host-epoch probe at BOTH edges of the timed body: round 6 found
     # 2.3x parallel-capacity swings (16,250 vs 6,988 MB/s sha256)
     # invisible to guest CPU accounting; a long rep can straddle an
-    # epoch change, so record entry and exit
+    # epoch change, so record entry and exit.
+    # ALSO measure the host's own 2-thread and 8-thread sha256
+    # throughput: their ratio is the ceiling ANY 2v8 sweep can show on
+    # this box (probe_stage02c: even idle, the host scales 1->8
+    # threads at only 0.64 on embarrassingly-parallel work — a real
+    # cluster's executors do not share a throttled hypervisor).  The
+    # summary reports raw efficiency AND efficiency normalized by this
+    # same-window host ceiling.
     calib_start = cpu_calibration()
+    host_2t = cpu_calibration(2)
+    host_8t = cpu_calibration(8)
     load_start = _load()
     t0 = time.monotonic()
     with ExternalCpuMeter() as meter:
@@ -94,6 +103,13 @@ def main() -> None:
         # epoch, and the 2v8 ratio only across same-epoch reps
         "calib_start": calib_start,
         "calib_end": calib_end,
+        # same-window host 2v8 ceiling: what a PERFECTLY scaling job
+        # could show between 2 and 8 threads on this host right now
+        "host_2t_mb_s": host_2t["sha256_2t_mb_s"],
+        "host_8t_mb_s": host_8t["sha256_8t_mb_s"],
+        "host_2v8_ceiling": round(
+            host_8t["sha256_8t_mb_s"] / host_2t["sha256_2t_mb_s"] / 4.0, 3
+        ),
     }
     Path(args.out).write_text(json.dumps(out, indent=1))
     print(json.dumps(out))

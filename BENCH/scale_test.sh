@@ -118,12 +118,22 @@ else:
 GATE
     fi
     echo "=== local[$CORES] rep $REP (load: $(cut -d' ' -f1 /proc/loadavg)) ===" >&2
+    # pin GC threads to the task-core count: a real cluster's executor
+    # JVM sizes GC workers to its container cores, but local[N] on this
+    # 32-core guest defaults to 23 ParallelGCThreads at BOTH levels —
+    # probe_stage02c caught young-GC pause time inflating ~25x at
+    # local[8] when the host throttled (32-wide GC pauses are the most
+    # host-parallelism-sensitive op in the JVM), old-gen count 0.
+    # Matching GC width to task width removes that asymmetric amplifier.
+    CONC=$(( CORES / 4 )); [ "$CONC" -lt 1 ] && CONC=1
+    GCOPTS="-XX:ParallelGCThreads=$CORES -XX:ConcGCThreads=$CONC"
     # one bounded retry per rep: a transient Python-worker crash (r6b
     # lost a full sweep to one Arrow socket reset an hour in) should
     # cost one rep re-run, not the whole unattended sweep
     for TRY in 1 2; do
       if spark-submit --master "local[$CORES]" \
         --conf "spark.sql.shuffle.partitions=$((CORES * 2))" \
+        --conf "spark.driver.extraJavaOptions=$GCOPTS" \
         "${COMMON[@]}" \
         BENCH/run_scaling.py \
         --corpus "$WORK/corpus.parquet" \
@@ -161,6 +171,15 @@ speedup = r4N["files_per_sec"] / rN["files_per_sec"]
 eff = speedup / 4.0
 out = {f"local{n}": rN, f"local{n4}": r4N,
        "speedup": round(speedup, 3), "scaling_efficiency": round(eff, 3)}
+# same-window host ceiling (run_scaling.py host_2v8_ceiling): the 2v8
+# ratio a PERFECT job could show on this shared host right now — even
+# idle it measures ~0.68 on pure sha256 (probe_stage02c).  Normalized
+# efficiency reads the engine against the host it actually ran on;
+# raw efficiency stays the headline, this contextualizes it.
+ceil = [r.get("host_2v8_ceiling") for r in (rN, r4N) if r.get("host_2v8_ceiling")]
+if ceil:
+    out["host_2v8_ceiling_avg"] = round(sum(ceil) / len(ceil), 3)
+    out["efficiency_vs_host_ceiling"] = round(eff / out["host_2v8_ceiling_avg"], 3)
 print(json.dumps(out, indent=1))
 json.dump(out, open("BENCH/scaling_result.json", "w"), indent=1)
 EOF
