@@ -172,10 +172,12 @@ eff = speedup / 4.0
 out = {f"local{n}": rN, f"local{n4}": r4N,
        "speedup": round(speedup, 3), "scaling_efficiency": round(eff, 3)}
 # same-window host ceiling (run_scaling.py host_2v8_ceiling): the 2v8
-# ratio a PERFECT job could show on this shared host right now — even
-# idle it measures ~0.68 on pure sha256 (probe_stage02c).  Normalized
-# efficiency reads the engine against the host it actually ran on;
-# raw efficiency stays the headline, this contextualizes it.
+# ratio a PERFECT job could show on this shared host right now.  It is
+# an epoch property: a healthy window measures ~0.98 on pure sha256
+# (throttle_probe_result.json) but a degraded one ~0.68
+# (probe_stage02c's bracket).  Normalized efficiency reads the engine
+# against the host it actually ran on; raw efficiency stays the
+# headline, this contextualizes it.
 ceil = [r.get("host_2v8_ceiling") for r in (rN, r4N) if r.get("host_2v8_ceiling")]
 if ceil:
     out["host_2v8_ceiling_avg"] = round(sum(ceil) / len(ceil), 3)
