@@ -952,6 +952,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ip", F.unix_timestamp("first_ts").alias("first_ts"), "hits"
         )
 
+    def q_streaming_first_seen_bounded(spark, sf):
+        # bounded-retention first-seen (dropDuplicatesWithinWatermark):
+        # over a single availableNow batch with a wide watermark it
+        # reduces to per-key dedup, and single-occurrence keys
+        # (doc_id < 50, one row each) make first_ts deterministic —
+        # the eviction/refresh timing semantics are pinned by
+        # tests/test_streaming.py, this entry pins the emission surface
+        import tempfile
+        import uuid
+
+        from polars_iptools_spark.streaming.enrich import (
+            first_seen_indicators_bounded,
+        )
+
+        d = spark.read.parquet(f"{sf}/documents.parquet").where(F.col("doc_id") < 50)
+        ev = d.select(
+            F.concat(F.lit("9.9.8."), F.col("doc_id").cast("string")).alias("ip"),
+            F.timestamp_seconds(F.lit(1700000000) + F.col("doc_id") * 37).alias("ts"),
+        )
+        src = tempfile.mkdtemp(prefix="pis_stream_bsrc_")
+        ev.coalesce(1).write.mode("overwrite").parquet(src)
+        stream = spark.readStream.schema(ev.schema).parquet(src)
+        qname = "q_first_seen_bounded_" + uuid.uuid4().hex[:8]
+        q = (
+            first_seen_indicators_bounded(stream, watermark="365 days")
+            .writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.table(qname).select(
+            "ip", F.unix_timestamp("first_ts").alias("first_ts")
+        )
+
     def q_streaming_windowed_counts(spark, sf):
         # second streaming correctness entry: the watermarked tumbling-
         # window aggregation over an availableNow stream must equal the
@@ -1176,6 +1212,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_clusters_v6": q_pipeline_clusters_v6,
         "scoring": q_scoring,
         "streaming_first_seen": q_streaming_first_seen,
+        "streaming_first_seen_bounded": q_streaming_first_seen_bounded,
         "streaming_windowed_counts": q_streaming_windowed_counts,
         "streaming_events": q_streaming_events,
         "multimodal_meta": q_multimodal_meta,
@@ -1695,6 +1732,13 @@ SELECT ip,
 FROM (SELECT concat('9.9.9.', CAST(doc_id % 50 AS VARCHAR)) AS ip, doc_id
       FROM documents)
 GROUP BY ip""",
+        # bounded-retention variant over a single batch of
+        # single-occurrence keys: reduces to the identity projection
+        "streaming_first_seen_bounded": """
+SELECT concat('9.9.8.', CAST(doc_id AS VARCHAR)) AS ip,
+       1700000000 + doc_id * 37 AS first_ts
+FROM documents
+WHERE doc_id < 50""",
         # tumbling 1-minute windows aligned to the epoch (Spark's
         # default window origin): floor(ts/60)*60
         "streaming_windowed_counts": """

@@ -160,12 +160,41 @@ def first_seen_indicators_native(indicators: DataFrame) -> DataFrame:
     cardinality forever (the same bound as the stateful op, which also
     never times out, but worth knowing for a continuous deployment: the
     query can never reclaim state).  For bounded retention use
-    ``dropDuplicatesWithinWatermark`` with a watermarked ``ts``, which
-    trades "first ever" for "first within the watermark horizon".
+    :func:`first_seen_indicators_bounded`, which trades "first ever"
+    for "first within the watermark horizon".
     """
     return indicators.select(
         "ip", F.col("ts").alias("first_ts")
     ).dropDuplicates(["ip"])
+
+
+def first_seen_indicators_bounded(
+    indicators: DataFrame, watermark: str = "24 hours"
+) -> DataFrame:
+    """Bounded-retention first-seen feed: the deployment-correct
+    variant of :func:`first_seen_indicators_native` for continuous
+    streams over unbounded indicator cardinality.
+
+    ``dropDuplicatesWithinWatermark`` keeps a key's state row only
+    until the event-time watermark passes its expiration, then
+    reclaims it — so state is bounded by the number of distinct keys
+    RECENTLY seen, not ever seen.  Expiration is the latest sighting's
+    event time plus the ``watermark`` delay: each suppressed duplicate
+    REFRESHES it (verified in tests/test_streaming.py), so a key is
+    re-emitted as newly seen only after a quiet gap longer than the
+    delay — "first since a quiet period" rather than "first ever".
+    Within a horizon the contract matches the native op, including its
+    tie caveat: among same-batch duplicate rows of one key, the
+    retained ``first_ts`` is whichever row the state store saw first.
+
+    JVM-native, zero Python state workers, same append-mode sink
+    surface as the other first-seen ops.
+    """
+    return (
+        indicators.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["ip"])
+        .select("ip", F.col("ts").alias("first_ts"))
+    )
 
 
 def enrich_stream(stream: DataFrame, ip_col: str | Column, db_dir: str | None = None) -> DataFrame:

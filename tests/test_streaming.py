@@ -17,9 +17,11 @@ def _pin_batch_order(in_dir):
     """FileStreamSource orders files by modification timestamp; on a
     coarse-granularity filesystem two back-to-back writes can tie and
     swap the micro-batches (flaking first_ts assertions that assume
-    b1 processes before b2).  Pin b1 strictly older than b2."""
+    b1 processes before b2).  Pin b1 < b2 < ... strictly."""
     now = time.time()
-    for sub, mtime in (("b1", now - 60), ("b2", now)):
+    subs = sorted(p.name for p in in_dir.iterdir() if p.is_dir())
+    for i, sub in enumerate(subs):
+        mtime = now - 60 * (len(subs) - i)
         for p in (in_dir / sub).rglob("*"):
             os.utime(p, (mtime, mtime))
 
@@ -208,3 +210,59 @@ def test_first_seen_native_matches_stateful_keys(spark, tmp_path):
     # carries ts=base, so the native path must emit base, not +1min
     assert by_ip["67.43.156.1"] == base
     assert by_ip["9.9.9.9"] == base + dt.timedelta(minutes=1)
+
+
+def test_first_seen_bounded_evicts_and_reemits(spark, tmp_path):
+    """The watermarked variant evicts a quiet key's state and re-emits
+    it as newly seen after the gap.
+
+    Timeline (watermark delay 1h, one file per micro-batch, order
+    pinned): b1 A@base — emitted, state expires at base+1h.
+    b2 B@base+2h30 — emitted; the watermark advances to base+1h30,
+    which takes effect in the NEXT batch.  b3 C@base+2h45 — emitted;
+    at this batch's end the state store evicts A (expiry base+1h <
+    watermark base+1h30).  b4 A@base+3h — re-emitted as newly seen
+    after the quiet gap.  Two timing subtleties this pins: eviction
+    happens at the end of the batch AFTER the watermark-advancing one
+    (hence b3), and a duplicate sighting would instead REFRESH A's
+    expiration — dropDuplicatesWithinWatermark extends state on
+    suppressed rows — which is why b2/b3 must not contain A.
+    """
+    base = dt.datetime(2026, 1, 1)
+    in_dir = tmp_path / "bounded_in"
+    in_dir.mkdir()
+    batches = [
+        [(base, "first 67.43.156.1 here")],
+        [(base + dt.timedelta(hours=2, minutes=30), "new 8.8.8.8")],
+        [(base + dt.timedelta(hours=2, minutes=45), "new 9.9.9.9")],
+        [(base + dt.timedelta(hours=3), "back 67.43.156.1 after gap")],
+    ]
+    for i, batch in enumerate(batches, 1):
+        spark.createDataFrame(batch, SCHEMA).coalesce(1).write.parquet(
+            str(in_dir / f"b{i}")
+        )
+    _pin_batch_order(in_dir)
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir / "b*"))
+    )
+    ind = se.extract_indicators_stream(stream, "text", "ts")
+    q = (
+        se.first_seen_indicators_bounded(ind, watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("first_seen_bounded")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_bounded"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.table("first_seen_bounded").collect()
+    got = sorted((r.ip, r.first_ts) for r in rows)
+    assert got == [
+        ("67.43.156.1", base),
+        ("67.43.156.1", base + dt.timedelta(hours=3)),
+        ("8.8.8.8", base + dt.timedelta(hours=2, minutes=30)),
+        ("9.9.9.9", base + dt.timedelta(hours=2, minutes=45)),
+    ]
