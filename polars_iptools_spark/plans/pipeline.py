@@ -7,8 +7,10 @@ corpus (repo, path, commit, lang, content)
     interval trie (GeoLite2 ASN when configured, pseudo-ASN otherwise)
     — then histogram-measured refinement of oversized (Zipf-hot)
     blocks, ONE committed stage (the blocked intermediate feeds the
-    histogram and the refinement join through a persist, not a second
-    parquet commit+read cycle)
+    histogram and the refinement join either through a persist — when
+    enrichment is UDF-priced — or by recomputing the pure-Catalyst
+    block keys over the committed stage-01 parquet, whichever is
+    cheaper; see ``persist_blocked``)
   → 03 candidate self-join (rid_a < rid_b, AQE-exempt repartition) +
     JVM-only score upper bound → hot candidates → batched Jaro-Winkler
     + materialized Levenshtein exact scoring, committed as ONE
@@ -53,6 +55,7 @@ def run_pipeline(
     mmdb_dir: str | None = None,
     ipv6: bool = False,
     audit_rids: bool = False,
+    persist_blocked: bool | None = None,
 ) -> dict:
     """Returns dict with 'clusters' (rid, commit, cluster_id), 'edges',
     'metrics' (per-stage lineage).
@@ -81,6 +84,8 @@ def run_pipeline(
                 "tuples share a 64-bit rid — remap the colliding records "
                 "or key them by blocking.record_id128"
             )
+    if persist_blocked is None:
+        persist_blocked = mmdb_dir is not None
     runner = StageRunner(spark, ckpt_dir)
     _to_unpersist: list[DataFrame] = []
 
@@ -99,11 +104,24 @@ def run_pipeline(
             )
         else:
             blocked = blocking.with_block_key(indicators)
-        # blocked feeds BOTH the histogram and the refinement join —
-        # materialize it once in executor storage instead of a parquet
-        # commit+read cycle of its own
-        blocked = blocked.persist(StorageLevel.MEMORY_AND_DISK)
-        _to_unpersist.append(blocked)
+        # blocked feeds BOTH the histogram and the refinement join.
+        # persist_blocked=True materializes it once in executor
+        # storage; False recomputes the block keys in both passes over
+        # the committed stage-01 parquet.  Default (None) persists only
+        # when an MMDB is configured: then block keys cost a broadcast-
+        # table Arrow UDF per row and recomputation doubles the
+        # enrichment bill, whereas the pseudo-ASN path is a pure-
+        # Catalyst projection that is CHEAPER to recompute than to
+        # persist — measured 4.7-5.0 s vs 6.3-7.1 s for the whole
+        # stage at 2.4M files/local[8] across four gated A/B runs
+        # (/dev/shm parquet, GC-pinned), and skipping the persist
+        # removes a whole-indicator-table executor-storage allocation
+        # right after stage 01's memory churn (the same-JVM GC
+        # pressure BENCH/probe_stage02*.py measured at the wide
+        # level).
+        if persist_blocked:
+            blocked = blocked.persist(StorageLevel.MEMORY_AND_DISK)
+            _to_unpersist.append(blocked)
         return blocking.refine_oversized_blocks(
             blocked, blocking.block_histogram(blocked), max_block_records
         )
