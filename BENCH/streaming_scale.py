@@ -162,6 +162,21 @@ def main() -> None:
             args.state_rows,
         )
 
+        # ---- 3c. bounded-retention first-seen (watermarked dedup) --------
+        # same input as 3b; the watermark bookkeeping is the only delta
+        small3 = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", mpt)
+            .parquet(src)
+        ).where(F.col("event_id") < args.state_rows)
+        run_stream(
+            se.first_seen_indicators_bounded(
+                small3.select("ts", "ip"), watermark="24 hours"
+            ),
+            "first_seen_bounded",
+            args.state_rows,
+        )
+
         out = Path(args.out) if args.out else (
             Path(__file__).resolve().parent / "streaming_scale_result.json"
         )
