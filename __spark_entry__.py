@@ -122,8 +122,17 @@ def _with_ship(fn):
 
 
 def _derived_ips(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """lineitem -> (rid, ip): mixed valid-v4 / invalid / v6 / null."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    """lineitem -> (rid, ip): mixed valid-v4 / invalid / v6 / null.
+
+    The scan is wrapped in ``ensure_parallelism``: the testdata parquet
+    is a single row group, which scans as ~1 partition and serializes
+    every downstream per-row operator onto one core (guide §2/§6 —
+    under-partitioned input).  The guard is a no-op at scale, where
+    inputs already arrive with >= cores/2 partitions.
+    """
+    from polars_iptools_spark.functions._par import ensure_parallelism
+
+    li = ensure_parallelism(spark.read.parquet(f"{sf_dir}/lineitem.parquet"))
     quad = F.concat_ws(
         ".",
         (F.col("l_orderkey") % 223 + 1).cast("string"),
@@ -174,7 +183,9 @@ _NUM_SQL = (
 def _derived_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents -> (doc_id, itext): text salted with planted indicators
     (plain, defanged, private, loopback) in deterministic positions."""
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from polars_iptools_spark.functions._par import ensure_parallelism
+
+    d = ensure_parallelism(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     pub = F.concat_ws(
         ".",
         (F.col("doc_id") % 200 + 20).cast("string"),
@@ -226,7 +237,9 @@ def _derived_v6_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents -> (doc_id, vtext): fully doc_id-determined text mixing
     IPv6 forms that exercise canonicalization (bracketed+port, full
     uncompressed, defanged, v4-mapped) with one public IPv4."""
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from polars_iptools_spark.functions._par import ensure_parallelism
+
+    d = ensure_parallelism(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     seg = (
         F.when(F.col("doc_id") % 4 == 0, F.lit("[2001:DB8::2:1]:443"))
         .when(F.col("doc_id") % 4 == 1, F.lit("2606:4700:0:0:0:0:0:1111"))

@@ -212,7 +212,12 @@ def minhash_signatures(
     )
 
 
-def _bucket_pairs(buckets: DataFrame, max_bucket_size: int | None) -> DataFrame:
+def _bucket_pairs(
+    buckets: DataFrame,
+    max_bucket_size: int | None,
+    caches: "CacheScope | None" = None,
+    persist_buckets: bool = True,
+) -> DataFrame:
     """(doc, band, bucket) -> candidate doc pairs sharing a bucket.
 
     Oversized buckets are dropped first: a bucket holding k docs emits
@@ -220,7 +225,19 @@ def _bucket_pairs(buckets: DataFrame, max_bucket_size: int | None) -> DataFrame:
     dominate the whole join — the LSH analog of the hot-shingle guard.
     Dropped buckets are those where the hash carries ~no information,
     so recall for genuinely similar pairs survives via their other
-    bands."""
+    bands.
+
+    The bucket frame feeds THREE consumers (the hot-bucket histogram
+    and both sides of the self-join), and its producing subtree is the
+    expensive part of every caller — the minhash signature fold, the
+    simhash bit fold, or the hyperplane-matmul Arrow UDF.  Without a
+    materialization point Spark re-evaluates that subtree per consumer
+    (3x, measured in the r07 plan audit); ``persist_buckets``
+    materializes the tiny (doc, band, bucket) frame once.  Cache
+    retention follows the same contract as the callers' signature
+    persists (LRU / session end / an owning :class:`CacheScope`)."""
+    if persist_buckets:
+        buckets = _persist(buckets, caches)
     if max_bucket_size:
         hot = (
             buckets.groupBy("band", "bucket")
@@ -306,7 +323,7 @@ def minhash_lsh_pairs(
     buckets = sigs.select(
         "doc", F.posexplode(band_hashes).alias("band", "bucket")
     )
-    cand = _bucket_pairs(buckets, max_bucket_size)
+    cand = _bucket_pairs(buckets, max_bucket_size, caches=caches)
     # verify candidates with exact shingle Jaccard — join the per-doc
     # shingle *sets* onto the (small) candidate list and intersect
     # per-pair, instead of re-joining the full inverted index (which
@@ -423,7 +440,12 @@ def simhash_pairs(
         ]
     )
     segs = sigs.select("doc", F.posexplode(seg_array).alias("band", "bucket"))
-    cand = _bucket_pairs(segs, max_bucket_size)
+    # segs re-derives from the persisted signatures with two cheap bit
+    # ops — re-persisting it would spend storage to save nothing, so
+    # only the un-persisted-signatures path materializes the buckets
+    cand = _bucket_pairs(
+        segs, max_bucket_size, caches=caches, persist_buckets=not persist_sigs
+    )
     a = sigs.select(F.col("doc").alias("doc_a"), F.col("simhash").alias("sig_a"))
     b = sigs.select(F.col("doc").alias("doc_b"), F.col("simhash").alias("sig_b"))
     return (

@@ -261,14 +261,18 @@ def lsh_near_duplicates(
 
     b = embeddings.select(
         F.col(id_col).alias("doc"),
-        F.col(vec_col),
         F.posexplode(
             lsh_buckets_banded(F.col(vec_col), dim, n_tables, n_planes, seed)
         ).alias("band", "bucket"),
     )
-    cand = _bucket_pairs(
-        b.select("doc", "band", "bucket"), max_bucket_size
-    ).withColumnsRenamed({"doc_a": "id_a", "doc_b": "id_b"})
+    # _bucket_pairs persists the (doc, band, bucket) frame, so the
+    # hyperplane-matmul Arrow UDF runs once instead of once per
+    # consumer (hot-bucket histogram + both self-join sides); the
+    # vector column is projected OUT before the explode so the cached
+    # frame and the pair shuffle carry 24 bytes/row, not the embedding
+    cand = _bucket_pairs(b, max_bucket_size).withColumnsRenamed(
+        {"doc_a": "id_a", "doc_b": "id_b"}
+    )
     # normalize each vector ONCE (n rows), so per-candidate exact
     # verification is a single dot product — the naive per-pair
     # cosine() recomputes BOTH norms per candidate, tripling the JVM

@@ -101,7 +101,10 @@ def test_cache_scope_releases_dedup_storage(spark, docs):
         assert {(r.doc_a, r.doc_b) for r in pairs.collect()} >= {(0, 2)}
         assert {(r.doc_a, r.doc_b) for r in lsh.collect()} >= {(0, 2)}
         handles = list(caches._frames)
-        assert len(handles) == 2
+        # simhash signatures + minhash shingle sets + minhash bucket
+        # frame (r07: _bucket_pairs materializes its input once so the
+        # signature fold is not re-evaluated per self-join side)
+        assert len(handles) == 3
         assert all(h.storageLevel.useMemory for h in handles)
     # scope exit unpersisted every registered frame
     assert not caches._frames

@@ -185,3 +185,24 @@ def test_minhash_hot_guard_has_no_collect_set(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     pairs.count()  # and the guarded plan still executes
+
+
+def test_bucket_pairs_input_is_materialized_once(spark):
+    """r07 optimization: the (doc, band, bucket) frame feeds the
+    hot-bucket histogram and BOTH self-join sides; _bucket_pairs must
+    persist it so the expensive producing subtree (signature fold /
+    hyperplane-matmul UDF) is evaluated once, not once per consumer —
+    all three consumers must read an InMemoryTableScan."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    df = spark.createDataFrame(
+        [(i, rng.standard_normal(8).tolist()) for i in range(30)],
+        "vec_id long, embedding array<double>",
+    )
+    pairs = similarity.lsh_near_duplicates(
+        df, dim=8, threshold=0.5, n_tables=4, n_planes=4
+    )
+    plan = plan_of(pairs)
+    assert plan.count("InMemoryTableScan") >= 3, plan[:600]
+    pairs.count()  # and it still executes
