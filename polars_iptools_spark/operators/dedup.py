@@ -217,6 +217,7 @@ def _bucket_pairs(
     max_bucket_size: int | None,
     caches: "CacheScope | None" = None,
     persist_buckets: bool = True,
+    shuffle_pairs: int | None = None,
 ) -> DataFrame:
     """(doc, band, bucket) -> candidate doc pairs sharing a bucket.
 
@@ -247,13 +248,26 @@ def _bucket_pairs(
         buckets = buckets.join(
             F.broadcast(hot.select("band", "bucket")), ["band", "bucket"], "left_anti"
         )
-    return (
+    pairs = (
         buckets.alias("x")
         .join(buckets.alias("y"), ["band", "bucket"])
         .where(F.col("x.doc") < F.col("y.doc"))
         .select(F.col("x.doc").alias("doc_a"), F.col("y.doc").alias("doc_b"))
-        .dropDuplicates()
     )
+    # ``shuffle_pairs``: explicit hash repartition on the pair key,
+    # pinned partition count (the same AQE-exemption guard as
+    # ngram_jaccard_pairs / candidate_pairs).  The candidate frame is
+    # BYTE-small, so AQE coalesces the dedup exchange to ~1 task —
+    # fine when the downstream verification is cheap (simhash
+    # bit_count), but it serializes verifications that are heavy per
+    # ROW and invisible to AQE's byte-based sizing (the ann_lsh JVM
+    # dot product — measured 2.15 s -> 1.32 s with the pinned
+    # exchange).  Keying by the pair itself means dropDuplicates
+    # reuses the exchange, so this replaces a shuffle rather than
+    # adding one; callers with cheap verification leave it off.
+    if shuffle_pairs:
+        pairs = pairs.repartition(shuffle_pairs, "doc_a", "doc_b")
+    return pairs.dropDuplicates()
 
 
 def minhash_lsh_pairs(

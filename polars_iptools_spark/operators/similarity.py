@@ -269,8 +269,19 @@ def lsh_near_duplicates(
     # hyperplane-matmul Arrow UDF runs once instead of once per
     # consumer (hot-bucket histogram + both self-join sides); the
     # vector column is projected OUT before the explode so the cached
-    # frame and the pair shuffle carry 24 bytes/row, not the embedding
-    cand = _bucket_pairs(b, max_bucket_size).withColumnsRenamed(
+    # frame and the pair shuffle carry 24 bytes/row, not the embedding.
+    # shuffle_pairs pins the candidate partitioning so the per-pair JVM
+    # dot below runs at full cluster parallelism instead of on the ~1
+    # task AQE's byte-based coalescing would leave for this byte-small,
+    # compute-heavy stream (guide §2.5).
+    try:
+        parts = max(
+            embeddings.sparkSession.sparkContext.defaultParallelism * 2, 8
+        )
+    except Exception:
+        # Spark Connect has no sparkContext — fixed fan-out fallback
+        parts = 16
+    cand = _bucket_pairs(b, max_bucket_size, shuffle_pairs=parts).withColumnsRenamed(
         {"doc_a": "id_a", "doc_b": "id_b"}
     )
     # normalize each vector ONCE (n rows), so per-candidate exact

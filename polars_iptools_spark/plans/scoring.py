@@ -269,19 +269,35 @@ def hot_candidates(
     quadratic pair stream to near-edge size entirely JVM-side.
     """
     w_ip, w_path, w_repo = weights
-    ip_sim = (
-        F.when(F.col(ip_cols[0]) == F.col(ip_cols[1]), F.lit(1.0))
-        .otherwise(0.5 * levenshtein_sim(F.col(ip_cols[0]), F.col(ip_cols[1])))
-    )
     # STAGED bound: first kill pairs on the ip term alone (IP strings
     # are <=15 chars, their Levenshtein is near-free), assuming perfect
     # path+repo.  With the default weights any unequal-IP pair caps at
     # w_ip*0.5 + w_path + w_repo = 0.70 < 0.72, so the expensive
     # path-Levenshtein below never runs for cross-entity pairs — at
     # 2.4M files this is most of the candidates-stage wall.
-    base = pairs.withColumn("ip_sim", ip_sim).where(
-        w_ip * F.col("ip_sim") + (w_path + w_repo) * F.lit(1.0) >= threshold
-    )
+    #
+    # Algebraic short-circuit (r07): when that cap itself cannot reach
+    # the threshold — w_ip*0.5 + w_path + w_repo <= threshold — the ip
+    # bound is decided by EQUALITY alone (unequal strings have
+    # lev_sim <= 1 - 1/maxlen < 1 strictly, so their bound is strictly
+    # below the cap and the >= filter drops them regardless of the
+    # Levenshtein value).  The filter then skips the per-pair ip
+    # Levenshtein entirely over the full candidate stream, and every
+    # survivor's ip_sim is the constant 1.0 the generic expression
+    # would have produced.  Null IPs drop in both forms (null
+    # comparison -> null -> filtered).
+    if w_ip * 0.5 + w_path + w_repo <= threshold:
+        base = pairs.where(F.col(ip_cols[0]) == F.col(ip_cols[1])).withColumn(
+            "ip_sim", F.lit(1.0)
+        )
+    else:
+        ip_sim = (
+            F.when(F.col(ip_cols[0]) == F.col(ip_cols[1]), F.lit(1.0))
+            .otherwise(0.5 * levenshtein_sim(F.col(ip_cols[0]), F.col(ip_cols[1])))
+        )
+        base = pairs.withColumn("ip_sim", ip_sim).where(
+            w_ip * F.col("ip_sim") + (w_path + w_repo) * F.lit(1.0) >= threshold
+        )
     # survivors: path equality fast-path, then real Levenshtein
     lev_path = F.when(
         F.col(path_cols[0]) == F.col(path_cols[1]), F.lit(1.0)

@@ -178,11 +178,14 @@ def first_seen_indicators_bounded(
     ``dropDuplicatesWithinWatermark`` keeps a key's state row only
     until the event-time watermark passes its expiration, then
     reclaims it — so state is bounded by the number of distinct keys
-    RECENTLY seen, not ever seen.  Expiration is the latest sighting's
-    event time plus the ``watermark`` delay: each suppressed duplicate
-    REFRESHES it (verified in tests/test_streaming.py), so a key is
-    re-emitted as newly seen only after a quiet gap longer than the
-    delay — "first since a quiet period" rather than "first ever".
+    RECENTLY seen, not ever seen.  Expiration is anchored at the FIRST
+    retained sighting's event time plus the ``watermark`` delay;
+    suppressed duplicates are dropped WITHOUT extending it (Spark
+    guarantees deduplication only within the "time distance of
+    earliest and latest events"), so a continuously-seen key is
+    re-emitted as newly seen roughly once per watermark period —
+    "at most one emission per watermark window since first sighting"
+    rather than "first ever".
     Within a horizon the contract matches the native op, including its
     tie caveat: among same-batch duplicate rows of one key, the
     retained ``first_ts`` is whichever row the state store saw first.

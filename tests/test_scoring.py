@@ -129,3 +129,48 @@ def test_jw_eq_gated_matches_udf(spark):
     ).collect()
     for r in got:
         assert r.gated == pytest.approx(r.raw, abs=1e-12), r
+
+
+def test_hot_candidates_eq_shortcircuit_matches_generic(spark):
+    """r07: when w_ip*0.5 + w_path + w_repo <= threshold the ip bound
+    is decided by equality alone and hot_candidates skips the per-pair
+    ip Levenshtein.  The fast path must keep the output (rows AND the
+    materialized ip_sim / lev_path columns) identical to the generic
+    bound — asserted by comparing against weights that force the
+    generic path at a threshold where both select the same rows, and
+    by pinning that unequal-IP pairs can never survive the default
+    weights."""
+    from pyspark.sql import functions as F
+
+    from polars_iptools_spark.plans.scoring import hot_candidates
+
+    rows = []
+    for i in range(50):
+        ip_a = f"10.0.0.{i % 7}"
+        ip_b = ip_a if i % 3 else f"10.0.1.{i % 7}"
+        rows.append(
+            (i, 1000 + i, ip_a, ip_b, f"src/m{i % 5}/h{i}.py", f"src/m{i % 5}/h{i}_v2.py")
+        )
+    pairs = spark.createDataFrame(
+        rows, "rid_a long, rid_b long, ip_a string, ip_b string, path_a string, path_b string"
+    )
+    # default weights (0.6, 0.25, 0.15): 0.6*0.5+0.40 = 0.70 <= 0.72 -> fast path
+    fast = hot_candidates(pairs, threshold=0.72)
+    plan = fast._jdf.queryExecution().executedPlan().toString()
+    assert "levenshtein(ip_a" not in plan, "ip Levenshtein not short-circuited"
+    # generic path via weights failing the inequality (0.9*0.5+0.1 = 0.55 > 0.4
+    # threshold) would diverge; instead force the generic expression with the
+    # same default weights by nudging the threshold below the cap
+    generic = hot_candidates(pairs, threshold=0.699)
+    # at threshold 0.699 the generic bound admits unequal-IP pairs iff their
+    # lev bound reaches it; equal-IP rows must be identical in both outputs
+    fast_rows = {
+        (r.rid_a, r.rid_b, r.ip_sim, round(r.lev_path, 9)) for r in fast.collect()
+    }
+    gen_eq_rows = {
+        (r.rid_a, r.rid_b, r.ip_sim, round(r.lev_path, 9))
+        for r in generic.where(F.col("ip_a") == F.col("ip_b")).collect()
+    }
+    assert fast_rows == gen_eq_rows
+    # and no unequal-IP pair survives the fast path
+    assert fast.where(F.col("ip_a") != F.col("ip_b")).count() == 0

@@ -19,7 +19,12 @@ def _pin_batch_order(in_dir):
     swap the micro-batches (flaking first_ts assertions that assume
     b1 processes before b2).  Pin b1 < b2 < ... strictly."""
     now = time.time()
-    subs = sorted(p.name for p in in_dir.iterdir() if p.is_dir())
+    # numeric sort: lexicographic would pin 'b10' older than 'b2' once
+    # a test reaches 10+ batches, silently reordering micro-batches
+    subs = sorted(
+        (p.name for p in in_dir.iterdir() if p.is_dir()),
+        key=lambda n: int("".join(c for c in n if c.isdigit()) or 0),
+    )
     for i, sub in enumerate(subs):
         mtime = now - 60 * (len(subs) - i)
         for p in (in_dir / sub).rglob("*"):
@@ -50,7 +55,7 @@ def _run(spark, stream_df, name, mode="append"):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not finish within timeout"
     return spark.table(name)
 
 
@@ -126,7 +131,7 @@ def test_first_seen_stateful(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(180), "stream did not finish within timeout"
     rows = {r.ip: r for r in spark.table("first_seen").collect()}
     # each indicator appears exactly once despite the repeat in batch 2
     assert set(rows) == {"67.43.156.1", "8.8.8.8", "9.9.9.9"}
@@ -201,7 +206,7 @@ def test_first_seen_native_matches_stateful_keys(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(180), "stream did not finish within timeout"
     rows = spark.table("first_seen_native").collect()
     assert len(rows) == 3  # one row per distinct indicator
     by_ip = {r.ip: r.first_ts for r in rows}
@@ -224,9 +229,10 @@ def test_first_seen_bounded_evicts_and_reemits(spark, tmp_path):
     watermark base+1h30).  b4 A@base+3h — re-emitted as newly seen
     after the quiet gap.  Two timing subtleties this pins: eviction
     happens at the end of the batch AFTER the watermark-advancing one
-    (hence b3), and a duplicate sighting would instead REFRESH A's
-    expiration — dropDuplicatesWithinWatermark extends state on
-    suppressed rows — which is why b2/b3 must not contain A.
+    (hence b3), and suppressed duplicates do NOT extend A's expiration
+    (expiry stays anchored at the first retained sighting's event time
+    plus the delay) — b2/b3 omit A simply to leave its state row
+    untouched until eviction.
     """
     base = dt.datetime(2026, 1, 1)
     in_dir = tmp_path / "bounded_in"
@@ -257,7 +263,7 @@ def test_first_seen_bounded_evicts_and_reemits(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(180), "stream did not finish within timeout"
     rows = spark.table("first_seen_bounded").collect()
     got = sorted((r.ip, r.first_ts) for r in rows)
     assert got == [
