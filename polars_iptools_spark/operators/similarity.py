@@ -58,13 +58,26 @@ def brute_force_topk(
     ``queries``: (query_id, embedding).  The query side is broadcast —
     at 100 TB the corpus never shuffles; each partition scans once.
     """
+    # Norms are hoisted out of the pair stream (r07): cosine(a, b)
+    # recomputed norm(a) per QUERY and norm(b) per CORPUS ROW — N*Q
+    # array folds for N*Q pairs.  Materializing each side's norm once
+    # (N + Q folds) and dividing dot/(na*nb) evaluates the exact same
+    # expressions in the same order, so the doubles are bit-identical
+    # to cosine() — only the evaluation count changes.
     q = queries.select(
-        F.col(query_id_col), F.col(vec_col).alias("_qvec")
+        F.col(query_id_col),
+        F.col(vec_col).alias("_qvec"),
+        norm(F.col(vec_col)).alias("_qn"),
     )
-    scored = embeddings.crossJoin(F.broadcast(q)).select(
+    corp = embeddings.select(
+        F.col(id_col), F.col(vec_col), norm(F.col(vec_col)).alias("_n")
+    )
+    scored = corp.crossJoin(F.broadcast(q)).select(
         F.col(query_id_col),
         F.col(id_col),
-        cosine(F.col(vec_col), F.col("_qvec")).alias("cosine"),
+        (dot(F.col(vec_col), F.col("_qvec")) / (F.col("_n") * F.col("_qn"))).alias(
+            "cosine"
+        ),
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.desc("cosine"), F.asc(id_col)
@@ -215,18 +228,27 @@ def ivf_topk(
         top = np.argsort(-sims, axis=1)[:, :n_probe]
         return pd.Series([row.tolist() for row in top.astype(np.int32)])
 
+    # same norm hoist as brute_force_topk (r07): dot/(na*nb) over
+    # per-row materialized norms is bit-identical to cosine() while
+    # dropping the per-pair norm folds from the probe join's output
     probes = queries.select(
         F.col(query_id_col),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_qvec"),
+        norm(F.transform(F.col(vec_col), lambda x: x.cast("double"))).alias("_qn"),
         F.explode(_probes_udf(F.col(vec_col))).alias("centroid"),
     )
     if broadcast_probes:
         probes = F.broadcast(probes)
-    scored = assigned.join(probes, "centroid").select(
+    dvec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    scored = assigned.withColumn("_n", norm(dvec)).join(probes, "centroid").select(
         F.col(query_id_col),
         F.col(id_col),
-        cosine(
-            F.transform(F.col(vec_col), lambda x: x.cast("double")), F.col("_qvec")
+        (
+            dot(
+                F.transform(F.col(vec_col), lambda x: x.cast("double")),
+                F.col("_qvec"),
+            )
+            / (F.col("_n") * F.col("_qn"))
         ).alias("cosine"),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))

@@ -396,3 +396,32 @@ def test_embedding_dedup_matches_bruteforce_oracle(spark):
         ).collect()
     }
     assert got == expect
+
+
+def test_topk_norm_hoist_is_bit_identical_to_per_pair_cosine(spark):
+    """r07: brute_force_topk materializes each side's norm once and
+    scores dot/(na*nb).  The doubles must be BIT-identical to the
+    per-pair cosine() formulation (same subexpressions, same order) so
+    ranking and oracle hashes are unaffected."""
+    rng = np.random.default_rng(23)
+    vecs = rng.standard_normal((60, 12)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(60)],
+        "vec_id long, embedding array<float>",
+    )
+    q = df.where("vec_id < 5").select(F.col("vec_id").alias("query_id"), "embedding")
+    got = similarity.brute_force_topk(df, q, k=6).collect()
+    ref = (
+        df.crossJoin(
+            F.broadcast(q.select("query_id", F.col("embedding").alias("_qvec")))
+        )
+        .select(
+            "query_id",
+            "vec_id",
+            similarity.cosine(F.col("embedding"), F.col("_qvec")).alias("cosine"),
+        )
+        .collect()
+    )
+    ref_map = {(r.query_id, r.vec_id): r.cosine for r in ref}
+    for r in got:
+        assert r.cosine == ref_map[(r.query_id, r.vec_id)], r  # exact, not approx
