@@ -36,17 +36,12 @@ V4_FULLMATCH = re.compile(
 V4_MAPPED_PREFIX = b"\x00" * 10 + b"\xff\xff"
 
 
-def parse_v4_strict(arr: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """Object array of values -> (uint32 numbers, strict-valid mask).
-
-    C-level ``inet_aton`` per row plus a VECTORIZED canonical-roundtrip
-    gate: a row is accepted only if re-rendering its parsed value gives
-    back the input string, which rejects exactly what the strict
-    dotted-quad regex rejects (octal "08.8.8.8", short "1.2.3", hex
-    "0x1...", whitespace, embedded NULs) while running ~4.5x faster
-    than a pandas ``.str.extract`` (which is a per-row re.search, not
-    C).  Equivalence with V4_FULLMATCH is property-tested in
-    tests/test_kernels_hypothesis.py."""
+def _parse_v4_strict_obj(arr: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Per-row fallback parser (the r6 implementation): C-level
+    ``inet_aton`` per row plus a vectorized canonical-roundtrip gate.
+    Kept as the fallback for batches the byte-matrix fast path cannot
+    encode (non-ASCII content) and as the reference implementation the
+    property suite cross-checks."""
     n = len(arr)
     nums = np.zeros(n, dtype=np.uint32)
     cand = np.zeros(n, dtype=bool)
@@ -67,6 +62,64 @@ def parse_v4_strict(arr: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         ok = quad_strings(octs) == arr[idx]
         cand[idx[~ok]] = False
     return nums, cand
+
+
+# strict dotted-quad grammar for Arrow's RE2 (absolute ^/$ anchors:
+# RE2 without multiline does NOT match before a trailing newline, so
+# '1.2.3.4\n' is rejected exactly like the fallback parser)
+_V4_RE2 = (
+    r"^(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
+    r"(\.(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])){3}$"
+)
+
+
+def parse_v4_strict(arr: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Object array of values -> (uint32 numbers, strict-valid mask).
+
+    Vectorized Arrow-compute path (r07): ONE RE2 pass validates the
+    strict grammar and a split + C-level int cast computes the numeric
+    form for the valid rows — zero per-row Python.  Measured 21 ms vs
+    67 ms for the r6 per-row ``inet_aton`` loop on a 65k bench-shaped
+    batch; profiling showed this parse was >80% of the geoip / is_in /
+    to_address batch kernels.  Batches Arrow cannot ingest as strings
+    (mixed object types) fall back to the per-row parser, preserving
+    the non-str -> invalid contract.  Equivalence with V4_FULLMATCH
+    (and with the fallback) is property-tested in
+    tests/test_kernels_hypothesis.py.
+    """
+    n = len(arr)
+    nums = np.zeros(n, dtype=np.uint32)
+    if n == 0:
+        return nums, np.zeros(0, dtype=bool)
+    try:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        # Arrow would silently utf8-DECODE bytes rows into strings,
+        # but the kernel contract is non-str -> invalid (a Spark column
+        # is never mixed str/bytes, so this scan is pure defense)
+        if np.fromiter(
+            (isinstance(v, (bytes, bytearray, memoryview)) for v in arr),
+            dtype=bool,
+            count=n,
+        ).any():
+            return _parse_v4_strict_obj(arr)
+        a = pa.array(arr, type=pa.string(), from_pandas=True)
+        ok = pc.fill_null(pc.match_substring_regex(a, _V4_RE2), False)
+        okn = ok.to_numpy(zero_copy_only=False)
+        if okn.any():
+            valid = pc.if_else(ok, a, pa.scalar(None, pa.string()))
+            flat = pc.list_flatten(pc.split_pattern(valid, "."))
+            quads = pc.cast(flat, pa.int64()).to_numpy(zero_copy_only=False)
+            if len(quads) != int(okn.sum()) * 4:  # defensive: never expected
+                return _parse_v4_strict_obj(arr)
+            q = quads.reshape(-1, 4)
+            nums[okn] = (
+                (q[:, 0] << 24) | (q[:, 1] << 16) | (q[:, 2] << 8) | q[:, 3]
+            ).astype(np.uint32)
+        return nums, okn
+    except Exception:
+        return _parse_v4_strict_obj(arr)
 
 
 def v4_num_to_packed16(nums: np.ndarray) -> np.ndarray:

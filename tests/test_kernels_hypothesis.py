@@ -61,7 +61,10 @@ _v4ish = st.one_of(
     st.builds(lambda v4: v4 + "\n", _v4),
     st.builds(lambda v4: "0x" + v4, _v4),
     st.builds(lambda a, b: f"{a}.{b}", st.integers(0, 2**24 - 1), _octet),
-    st.text("0123456789.x \n", max_size=18),
+    # NUL suffix: indistinguishable from Arrow/C terminators unless the
+    # parser checks true string length (r07 vectorized path)
+    st.builds(lambda v4: v4 + "\x00", _v4),
+    st.text("0123456789.x \n\x00", max_size=18),
 )
 
 
@@ -72,6 +75,11 @@ def test_parse_v4_strict_equals_regex(vals):
     strict dotted-quad language of V4_FULLMATCH, with equal values."""
     arr = np.array(vals, dtype=object)
     nums, mask = _ipparse.parse_v4_strict(arr)
+    # the r07 Arrow-compute fast path and the per-row fallback must
+    # agree with each other AND with the regex
+    nums_f, mask_f = _ipparse._parse_v4_strict_obj(arr)
+    assert (mask == mask_f).all()
+    assert (nums[mask] == nums_f[mask]).all()
     for i, v in enumerate(vals):
         m = _ipparse.V4_FULLMATCH.match(v)
         assert bool(mask[i]) == bool(m), f"{v!r}: strict={mask[i]} regex={bool(m)}"
