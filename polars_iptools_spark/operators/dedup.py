@@ -425,13 +425,18 @@ def simhash_pairs(
     least one identical segment when bands > max_hamming), bucket-join
     with the oversized-bucket guard, verify hamming with bit_count.
 
-    The signature subtree feeds the banding explode AND both sides of
-    the verification join — three references; without a
-    materialization point Spark recomputes the whole scan+fold per
-    reference (same reason minhash_lsh_pairs persists its shingle
-    sets; measured ~3x the signature cost at bench SF).
+    The 8-byte signature RIDES THROUGH the bucket self-join (r07,
+    guide §2.3: carry small metadata instead of re-joining it): the
+    banding explode keeps ``simhash`` on every (doc, band, bucket) row,
+    the self-join emits both signatures with each candidate pair, and
+    hamming is verified BEFORE the pair dedup — so the two
+    verification joins of the previous shape disappear entirely and
+    the dedup shuffle carries only near-edge rows.  The exploded
+    segment frame (the subtree holding the signature fold) feeds the
+    oversized-bucket histogram and both self-join sides, so it is the
+    materialization point.
 
-    Cache retention: the persisted signatures stay in Spark's
+    Cache retention: the persisted segment frame stays in Spark's
     CacheManager until evicted (LRU) or the session ends — the handle
     is internal to the returned lazy plan, so this function cannot
     unpersist it after materialization.  Long-lived sessions invoking
@@ -442,8 +447,6 @@ def simhash_pairs(
     same contract as ``minhash_lsh_pairs(persist_sets=...)``."""
     assert bands > max_hamming, "pigeonhole needs bands > max_hamming"
     sigs = simhash(df, id_col, text_col)
-    if persist_sigs:
-        sigs = _persist(sigs, caches)
     seg_bits = 64 // bands
     seg_array = F.array(
         *[
@@ -453,21 +456,33 @@ def simhash_pairs(
             for b in range(bands)
         ]
     )
-    segs = sigs.select("doc", F.posexplode(seg_array).alias("band", "bucket"))
-    # segs re-derives from the persisted signatures with two cheap bit
-    # ops — re-persisting it would spend storage to save nothing, so
-    # only the un-persisted-signatures path materializes the buckets
-    cand = _bucket_pairs(
-        segs, max_bucket_size, caches=caches, persist_buckets=not persist_sigs
+    segs = sigs.select(
+        "doc", "simhash", F.posexplode(seg_array).alias("band", "bucket")
     )
-    a = sigs.select(F.col("doc").alias("doc_a"), F.col("simhash").alias("sig_a"))
-    b = sigs.select(F.col("doc").alias("doc_b"), F.col("simhash").alias("sig_b"))
+    if persist_sigs:
+        segs = _persist(segs, caches)
+    if max_bucket_size:
+        hot = (
+            segs.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .where(F.col("c") > max_bucket_size)
+        )
+        segs = segs.join(
+            F.broadcast(hot.select("band", "bucket")), ["band", "bucket"], "left_anti"
+        )
     return (
-        cand.join(a, "doc_a")
-        .join(b, "doc_b")
-        .withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
+        segs.alias("x")
+        .join(segs.alias("y"), ["band", "bucket"])
+        .where(F.col("x.doc") < F.col("y.doc"))
+        .select(
+            F.col("x.doc").alias("doc_a"),
+            F.col("y.doc").alias("doc_b"),
+            F.bit_count(
+                F.col("x.simhash").bitwiseXOR(F.col("y.simhash"))
+            ).alias("hamming"),
+        )
         .where(F.col("hamming") <= max_hamming)
-        .select("doc_a", "doc_b", "hamming")
+        .dropDuplicates()
     )
 
 
