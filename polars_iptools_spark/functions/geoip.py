@@ -108,12 +108,19 @@ def full_udf(reload_mmdb: bool = False, db_dir: str | None = None):
             "timezone",
         ):
             data[name] = tc.columns[name][rows_c]
-        df = pd.DataFrame(data, copy=False)
-        # null/invalid input -> all-null struct fields
+        # null/invalid input -> all-null struct fields.  Masked directly
+        # on the gathered arrays (each fancy-index gather above is a
+        # fresh copy, safe to mutate) — the previous row-wise
+        # ``df.loc[bad, :] = None`` re-walked all 12 columns through the
+        # pandas alignment machinery per batch (r07 profile: ~6-20 ms of
+        # a ~110 ms kernel).
         bad = ~mask
         if bad.any():
-            df.loc[bad, :] = None
-        return df
+            data["asnnum"][bad] = pd.NA
+            for name, col in data.items():
+                if name != "asnnum":
+                    col[bad] = None
+        return pd.DataFrame(data, copy=False)
 
     return _full_udf
 

@@ -41,11 +41,16 @@ def full_udf(reload_mmdb: bool = False, db_dir: str | None = None):
         data["client_count"] = pd.array(
             [float(v) for v in data["client_count"]], dtype="Float32"
         )
-        df = pd.DataFrame(data, copy=False)
+        # null/invalid -> all-null struct fields, masked on the gathered
+        # copies directly (same r07 cleanup as geoip.full_udf — the
+        # row-wise .loc walked every column through pandas alignment)
         bad = ~mask
         if bad.any():
-            df.loc[bad, :] = None
-        return df
+            data["client_count"][bad] = pd.NA
+            for name, col in data.items():
+                if name != "client_count":
+                    col[bad] = None
+        return pd.DataFrame(data, copy=False)
 
     return _spur_udf
 
